@@ -1,0 +1,121 @@
+"""Vectorized exact geometric predicates (pure numpy — shapely-free).
+
+Used as the *refine* step after the cell-index prefilter
+(SURVEY.md §2.3): the engine converts every spatial-theta predicate
+into equi-join-on-cell + one of these residual kernels, evaluated
+Arrow-batched inside mapInPandas. Axis-aligned cases (bbox × bbox,
+point × bbox) never reach Python — they compile to Column math.
+
+Semantics = ST_Intersects (touching counts), mirroring the reference's
+DuckDB predicates (crates/duckdb/src/client.rs:343-359) and in-memory
+intersects (crates/core/src/item.rs:457-468).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def points_in_polygon(px: np.ndarray, py: np.ndarray,
+                      ring: np.ndarray) -> np.ndarray:
+    """Ray-casting PIP: N points vs one polygon exterior ring.
+
+    ring: (M, 2) closed or open ring (closure handled here).
+    Boundary points count as inside (ST_Intersects semantics) via an
+    explicit on-segment check.
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    ring = np.asarray(ring, dtype=np.float64)
+    if len(ring) > 1 and np.array_equal(ring[0], ring[-1]):
+        ring = ring[:-1]
+    n = len(ring)
+    inside = np.zeros(px.shape, dtype=bool)
+    on_edge = np.zeros(px.shape, dtype=bool)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        # crossing test (half-open rule avoids double-count at vertices)
+        cond = (y1 > py) != (y2 > py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+        inside ^= cond & (px < xint)
+        # on-segment test
+        cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+        within = ((np.minimum(x1, x2) - 1e-12 <= px)
+                  & (px <= np.maximum(x1, x2) + 1e-12)
+                  & (np.minimum(y1, y2) - 1e-12 <= py)
+                  & (py <= np.maximum(y1, y2) + 1e-12))
+        on_edge |= (np.abs(cross) < 1e-12) & within
+    return inside | on_edge
+
+
+def _segments_intersect_rects(x1, y1, x2, y2, rx0, ry0, rx1, ry1):
+    """Liang–Barsky: does segment (x1,y1)-(x2,y2) hit each rect?
+    Scalars for the segment, arrays for the rects."""
+    dx, dy = x2 - x1, y2 - y1
+    t0 = np.zeros(rx0.shape)
+    t1 = np.ones(rx0.shape)
+    ok = np.ones(rx0.shape, dtype=bool)
+    for p, q in ((-dx, x1 - rx0), (dx, rx1 - x1), (-dy, y1 - ry0), (dy, ry1 - y1)):
+        if p == 0:
+            ok &= q >= 0
+        else:
+            r = q / p
+            if p < 0:
+                t0 = np.maximum(t0, r)
+            else:
+                t1 = np.minimum(t1, r)
+    return ok & (t0 <= t1)
+
+
+def rects_intersect_polygon(rx0: np.ndarray, ry0: np.ndarray,
+                            rx1: np.ndarray, ry1: np.ndarray,
+                            ring: np.ndarray) -> np.ndarray:
+    """Exact rect × polygon intersects, vectorized over N rects.
+
+    True iff any polygon vertex is inside the rect, OR any rect corner
+    is inside the polygon, OR any polygon edge crosses the rect —
+    which together cover containment either way and boundary crossing.
+    O(N · M) numpy ops for an M-vertex polygon.
+    """
+    rx0 = np.asarray(rx0, dtype=np.float64)
+    ry0 = np.asarray(ry0, dtype=np.float64)
+    rx1 = np.asarray(rx1, dtype=np.float64)
+    ry1 = np.asarray(ry1, dtype=np.float64)
+    ring = np.asarray(ring, dtype=np.float64)
+    if len(ring) > 1 and np.array_equal(ring[0], ring[-1]):
+        ring = ring[:-1]
+
+    out = np.zeros(rx0.shape, dtype=bool)
+    # polygon vertex inside rect
+    for vx, vy in ring:
+        out |= (rx0 <= vx) & (vx <= rx1) & (ry0 <= vy) & (vy <= ry1)
+    # rect corner inside polygon
+    for cx, cy in ((rx0, ry0), (rx1, ry0), (rx1, ry1), (rx0, ry1)):
+        rem = ~out
+        if rem.any():
+            out[rem] |= points_in_polygon(cx[rem], cy[rem], ring)
+    # polygon edge crosses rect
+    n = len(ring)
+    for i in range(n):
+        rem = ~out
+        if not rem.any():
+            break
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        out[rem] |= _segments_intersect_rects(
+            x1, y1, x2, y2, rx0[rem], ry0[rem], rx1[rem], ry1[rem])
+    return out
+
+
+def is_axis_aligned_rect_ring(ring: np.ndarray) -> bool:
+    """Detect a 5-point closed axis-aligned rectangle ring (the shape
+    Bbox::to_geometry produces, bbox.rs:164-187) — lets the planner
+    compile the predicate to pure Column math instead of a UDF."""
+    ring = np.asarray(ring, dtype=np.float64)
+    if ring.shape != (5, 2) or not np.array_equal(ring[0], ring[4]):
+        return False
+    xs = np.unique(ring[:, 0])
+    ys = np.unique(ring[:, 1])
+    return len(xs) == 2 and len(ys) == 2

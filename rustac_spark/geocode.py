@@ -1,0 +1,92 @@
+"""Deterministic geocoder: url → (lat, lon) → square footprint.
+
+Implements FIXTURES.md §1 "Derived" rules. Pages are geocoded by
+domain (spatial clustering per domain ⇒ realistic hot-cell skew from
+the zipf domain draw) with a per-url jitter, then given a square
+footprint bbox. Everything is a pure function of the url via
+``stable_hash`` (sha256), so any executor recomputes identical values
+— this is what makes the pipeline resumable and the oracle checkable.
+
+Exposed two ways:
+- ``geocode_pandas(urls) -> DataFrame`` — numpy batch kernel,
+- ``with_geocode(df) -> DataFrame`` — Spark mapInPandas wrapper adding
+  lat, lon, xmin, ymin, xmax, ymax (+ WKB geometry) columns.
+
+The reference models footprints as item geometry + bbox struct
+covering index (crates/core/src/geoparquet.rs:415-435); here the bbox
+struct columns ARE the covering index the spatial join uses.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from .hashing import stable_hash_batch
+from .geo.wkbio import bbox_polygon_wkb
+
+LAT_LIMIT = 84.9  # keep footprints inside web-mercator domain (±85.05113)
+LON_LIMIT = 179.9
+
+GEO_COLS = ["lat", "lon", "xmin", "ymin", "xmax", "ymax"]
+GEO_SCHEMA = ("lat double, lon double, xmin double, ymin double, "
+              "xmax double, ymax double")
+
+
+def _domain_of(urls: pd.Series) -> pd.Series:
+    # url shape: https://{domain}/{path}
+    return urls.str.split("/", n=3).str[2]
+
+
+def geocode_pandas(urls: pd.Series) -> pd.DataFrame:
+    """Batch kernel: urls → lat/lon/bbox columns (float64)."""
+    domains = _domain_of(urls)
+    hd = stable_hash_batch(domains.tolist()).astype(np.float64)
+    hdx = stable_hash_batch((domains + "x").tolist()).astype(np.float64)
+    hu = stable_hash_batch(urls.tolist())
+    hlat = stable_hash_batch((urls + ":lat").tolist()).astype(np.float64)
+    hlon = stable_hash_batch((urls + ":lon").tolist()).astype(np.float64)
+
+    lat_dom = np.mod(hd, 170_000.0) / 1000.0 - 85.0
+    lon_dom = np.mod(hdx, 360_000.0) / 1000.0 - 180.0
+    lat = lat_dom + (np.mod(hlat, 100_001.0) / 100_000.0 - 0.5) * 0.1
+    lon = lon_dom + (np.mod(hlon, 100_001.0) / 100_000.0 - 0.5) * 0.1
+    lat = np.clip(lat, -LAT_LIMIT, LAT_LIMIT)
+    lon = np.clip(lon, -LON_LIMIT, LON_LIMIT)
+    delta = 0.001 + np.mod(hu.astype(np.float64), 100.0) / 10000.0
+    return pd.DataFrame({
+        "lat": lat, "lon": lon,
+        "xmin": lon - delta, "ymin": lat - delta,
+        "xmax": lon + delta, "ymax": lat + delta,
+    })
+
+
+def footprint_wkb_batch(g: pd.DataFrame) -> pd.Series:
+    return pd.Series(
+        [bbox_polygon_wkb(a, b, c, d)
+         for a, b, c, d in zip(g["xmin"], g["ymin"], g["xmax"], g["ymax"])],
+        index=g.index, dtype=object)
+
+
+def with_geocode(df, url_col: str = "url", geometry: bool = False):
+    """Add geocode columns to a pages DataFrame via mapInPandas
+    (Arrow-batched; the sha256 loop is the only Python on the ingest
+    path — every downstream predicate is pure Column math)."""
+    in_schema = df.schema
+    out_fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                           for f in in_schema.fields)
+    schema = f"{out_fields}, {GEO_SCHEMA}"
+    if geometry:
+        schema += ", geometry binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            g = geocode_pandas(pdf[url_col])
+            out = pd.concat([pdf.reset_index(drop=True), g], axis=1)
+            if geometry:
+                out["geometry"] = footprint_wkb_batch(g)
+            yield out
+
+    return df.mapInPandas(gen, schema=schema)

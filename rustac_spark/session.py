@@ -1,0 +1,41 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Scale posture (100 TB / 1000-executor design point, tested on
+local[32]):
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing),
+- Arrow transfer on (all Python UDFs are pandas/Arrow-batched),
+- session timezone pinned to UTC (STAC datetime semantics are UTC,
+  mirrors the reference's Timestamp(ms, UTC) coercion at
+  crates/core/src/geoarrow/mod.rs:186-197),
+- shuffle partitions sized for the local harness; on a real cluster
+  AQE coalesces from a high initial number.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "rustac-spark", master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle = shuffle_partitions or int(os.environ.get(
+        "RUSTAC_SHUFFLE_PARTITIONS", str(2 * int(cpus) if cpus.isdigit() else 64)))
+    b = (
+        SparkSession.builder.appName(app)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory", os.environ.get("RUSTAC_DRIVER_MEM", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    return b.getOrCreate()

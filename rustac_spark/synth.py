@@ -1,0 +1,241 @@
+"""Deterministic synthetic data (seed=42-equivalent: pure sha256 functions).
+
+Implements FIXTURES.md exactly:
+- §1 ``pages`` — Common-Crawl-style table, input_hint shape
+  (url, warc_ts, html, text, lang); zipf(s=1.2) domain draw over 1000
+  domains ⇒ hot-cell skew; ``text`` is a pure function of ``html``
+  (the byte-identical-per-url invariant).
+- §2 ``stac_items`` — flat stac-geoparquet-style 100-item fixture
+  replicating the reference's golden counts
+  (crates/duckdb/src/client.rs:750-1036): 50/50 bbox+intersects split,
+  1/99 datetime split, 49/51 filter split; plus the interval fixture
+  (start/end coalesce, client.rs:862-871).
+- §3 ``queries`` — spatial-join probe set (bbox / point / polygon)
+  with datetime interval strings covering the reference's
+  normalization branches (crates/core/src/datetime.rs:20-70,
+  api/search.rs:306-357).
+
+Every row is a pure function of its row id, so the Spark-distributed
+generator (``gen_pages``) and the driver-side fixture writer produce
+identical bytes regardless of partitioning — this is what makes the
+DuckDB oracle comparison exact.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from .hashing import stable_hash, stable_hash_batch
+from .geocode import geocode_pandas
+from .geo.wkbio import bbox_polygon_wkb, point_wkb, polygon_wkb
+
+EPOCH_2024 = 1704067200  # 2024-01-01T00:00:00Z
+YEAR_SECONDS = 31536000
+N_DOMAINS = 1000
+ZIPF_S = 1.2
+LANGS = ["en", "de", "fr", "es", "pt", "zh", "ru", "ja"]
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def _zipf_cdf() -> np.ndarray:
+    w = 1.0 / np.power(np.arange(1, N_DOMAINS + 1, dtype=np.float64), ZIPF_S)
+    return np.cumsum(w / w.sum())
+
+
+_ZIPF_CDF = _zipf_cdf()
+_DOMAINS = np.array([f"d{k:03d}.example.com" for k in range(N_DOMAINS)])
+
+
+def pages_batch(ids: np.ndarray) -> pd.DataFrame:
+    """Pure kernel: row ids → pages rows (input_hint shape)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    u = stable_hash_batch([f"zipf:{i}" for i in ids]).astype(np.float64) / 2.0**64
+    dom_idx = np.searchsorted(_ZIPF_CDF, u, side="left")
+    dom_idx = np.clip(dom_idx, 0, N_DOMAINS - 1)
+    domains = _DOMAINS[dom_idx]
+    urls = np.array([f"https://{d}/p{i}" for d, i in zip(domains, ids)])
+
+    hu = stable_hash_batch(urls.tolist())
+    hd = stable_hash_batch(domains.tolist())
+    lang = [LANGS[int(h % 8)] for h in hd]
+
+    ts = (EPOCH_2024 + (hu % YEAR_SECONDS).astype(np.int64)).astype("datetime64[s]")
+
+    texts, htmls = [], []
+    for h, lg in zip(hu, lang):
+        h = int(h)
+        words = " ".join(f"w{(h >> i) % 9973}" for i in range(0, 64, 8))
+        text = f"doc {h} lang={lg} {words}"
+        texts.append(text)
+        htmls.append((f"<html><head><title>T{h}</title></head>"
+                      f"<body>{text}</body></html>").encode("utf-8"))
+
+    return pd.DataFrame({
+        "url": urls,
+        "warc_ts": pd.Series(ts).astype("datetime64[us]"),
+        "html": pd.Series(htmls, dtype=object),
+        "text": texts,
+        "lang": lang,
+    })
+
+
+def gen_pages(spark, n_rows: int, partitions: int | None = None):
+    """Distributed deterministic pages generator (Spark DataFrame).
+
+    Partition-count-independent output: each row depends only on its id.
+    """
+    partitions = partitions or max(8, n_rows // 50_000)
+    rng = spark.range(0, n_rows, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pages_batch(pdf["id"].to_numpy())
+
+    return rng.mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
+def pages_pandas(n_rows: int) -> pd.DataFrame:
+    return pages_batch(np.arange(n_rows))
+
+
+# ---------------------------------------------------------------- queries §3
+
+# Datetime interval strings exercising the reference's branches
+# (crates/core/src/datetime.rs:20-70, api/search.rs:306-357,361-439).
+QUERY_DATETIMES = [
+    None,
+    "2024-03-01T00:00:00Z/2024-09-01T00:00:00Z",
+    "2024-06-15T00:00:00Z",
+    "2024-06-01T00:00:00Z/..",
+    "../2024-07-01T00:00:00Z",
+    "2024",
+    "2024-02",          # leap February
+    "2023-02",          # non-leap February (outside data year ⇒ 0 matches)
+    "2024-06-15",
+    "2024-01-01T00:00:00Z/2024-12-31T23:59:59Z",
+]
+
+
+def queries_pandas(n_queries: int = 60) -> pd.DataFrame:
+    """Spatial-join probe set anchored at top-domain locations."""
+    rows = []
+    for q in range(n_queries):
+        m = q % 5
+        kind = "bbox" if m in (0, 1) else ("point" if m in (2, 3) else "polygon")
+        rank = q % 20  # anchor at a top-20 (zipf-hot) domain
+        domain = f"d{rank:03d}.example.com"
+        lat = (stable_hash(domain) % 170_000) / 1000.0 - 85.0
+        lon = (stable_hash(domain + "x") % 360_000) / 1000.0 - 180.0
+        lat = min(max(lat, -84.0), 84.0)
+        lon = min(max(lon, -179.0), 179.0)
+        hw = stable_hash(f"q{q}w")
+        if kind == "bbox":
+            w = 0.02 + (hw % 200) / 200.0 * 0.5
+            xmin, ymin, xmax, ymax = lon - w, lat - w, lon + w, lat + w
+            geom = bbox_polygon_wkb(xmin, ymin, xmax, ymax)
+        elif kind == "point":
+            dx = ((stable_hash(f"q{q}x") % 601) / 600.0 - 0.5) * 0.06
+            dy = ((stable_hash(f"q{q}y") % 601) / 600.0 - 0.5) * 0.06
+            x, y = lon + dx, lat + dy
+            xmin = xmax = x
+            ymin = ymax = y
+            geom = point_wkb(x, y)
+        else:  # irregular convex-ish polygon, 7 vertices
+            nv = 7
+            pts = []
+            for v in range(nv):
+                ang = 2 * math.pi * v / nv
+                r = 0.08 + (stable_hash(f"q{q}r{v}") % 100) / 100.0 * 0.35
+                pts.append((lon + r * math.cos(ang), lat + r * math.sin(ang)))
+            pts.append(pts[0])
+            geom = polygon_wkb(pts)
+            xs = [p[0] for p in pts]
+            ys = [p[1] for p in pts]
+            xmin, ymin, xmax, ymax = min(xs), min(ys), max(xs), max(ys)
+        rows.append({
+            "query_id": q, "kind": kind,
+            "qxmin": xmin, "qymin": ymin, "qxmax": xmax, "qymax": ymax,
+            "geometry": geom,
+            "datetime": QUERY_DATETIMES[q % len(QUERY_DATETIMES)],
+        })
+    return pd.DataFrame(rows)
+
+
+# ------------------------------------------------------------- stac items §2
+
+STAC_PROBE_POINT = (-106.0, 40.5)
+STAC_PROBE_BBOX = (-106.1, 40.5, -106.0, 40.6)
+
+
+def stac_items_pandas() -> pd.DataFrame:
+    """100-item fixture replicating the reference's golden counts."""
+    base = pd.Timestamp("2024-03-26T00:00:00")
+    rows = []
+    for i in range(100):
+        if i < 50:
+            cx = -106.0 + (i % 10) * 0.001
+            cy = 40.5 + (i // 10) * 0.001
+            half = 0.03
+        else:
+            cx = (i * 3.7) % 300 - 150.0
+            cy = -60.0 + (i % 7) * 5.0
+            half = 0.02
+        xmin, ymin, xmax, ymax = cx - half, cy - half, cx + half, cy + half
+        dt = (base + pd.Timedelta(hours=60 * i) if i < 99
+              else pd.Timestamp("2024-12-03T00:00:00"))
+        rows.append({
+            "type": "Feature",
+            "stac_version": "1.1.0",
+            "stac_extensions": [],
+            "id": f"item-{i:04d}",
+            "collection": "collection-a",
+            "geometry": bbox_polygon_wkb(xmin, ymin, xmax, ymax),
+            "bbox": {"xmin": xmin, "ymin": ymin, "xmax": xmax, "ymax": ymax},
+            "datetime": dt,
+            "start_datetime": pd.NaT,
+            "end_datetime": pd.NaT,
+            "created": pd.Timestamp("2024-01-01T00:00:00"),
+            "updated": pd.Timestamp("2024-01-02T00:00:00"),
+            "sat:relative_orbit": 98 if (i % 2 == 0 and i < 98) else 141,
+            "eo:cloud_cover": float((i * 7919) % 101),
+            "links": [],
+        })
+    return pd.DataFrame(rows)
+
+
+def stac_items_interval_pandas() -> pd.DataFrame:
+    """3-item fixture: datetime NULL, start/end intervals — exercises the
+    coalesce fallback (reference crates/core/src/item.rs:549-554,
+    golden count 1 @ client.rs:862-871)."""
+    spans = [
+        ("2026-04-01", "2026-05-01"),   # straddles 2026-04-15 → the 1 match
+        ("2026-01-01", "2026-02-01"),
+        ("2026-06-01", "2026-07-01"),
+    ]
+    rows = []
+    for i, (s, e) in enumerate(spans):
+        xmin, ymin = 10.0 + i, 10.0
+        rows.append({
+            "type": "Feature",
+            "stac_version": "1.1.0",
+            "stac_extensions": [],
+            "id": f"int-{i:04d}",
+            "collection": "collection-b",
+            "geometry": bbox_polygon_wkb(xmin, ymin, xmin + 0.5, ymin + 0.5),
+            "bbox": {"xmin": xmin, "ymin": ymin,
+                     "xmax": xmin + 0.5, "ymax": ymin + 0.5},
+            "datetime": pd.NaT,
+            "start_datetime": pd.Timestamp(s),
+            "end_datetime": pd.Timestamp(e),
+            "created": pd.Timestamp("2024-01-01T00:00:00"),
+            "updated": pd.Timestamp("2024-01-02T00:00:00"),
+            "sat:relative_orbit": 1,
+            "eo:cloud_cover": 0.0,
+            "links": [],
+        })
+    return pd.DataFrame(rows)
