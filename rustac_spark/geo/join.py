@@ -1,0 +1,135 @@
+"""Cell-indexed distributed spatial join (the engine's core operator).
+
+Converts the spatial-theta predicate ST_Intersects(footprint, query)
+— which the reference pushes to single-node DuckDB
+(crates/duckdb/src/client.rs:343-359) — into the standard distributed
+form (SURVEY.md §2.3; EDBT'25 adaptive-replication pattern):
+
+    equi-join on grid cell  +  residual exact predicate
+
+Scale design (10^12 pages, 1000 executors):
+- pages explode to covering cells (pure Column, ≤4 cells/footprint at
+  the default resolution) — a narrow transformation, no shuffle;
+- the query side is exploded and **broadcast** (query sets are small;
+  `F.broadcast` ⇒ BroadcastHashJoin: the 10^12-row side never
+  shuffles). For query sets too big to broadcast, pass
+  ``broadcast_queries=False`` to fall back to a hash-partitioned
+  shuffle join on cell, where AQE's skew-join splitting handles hot
+  cells (salting helpers in pipeline/skew.py);
+- duplicate candidates (a pair sharing several cells) are eliminated
+  WITHOUT a distinct-shuffle via the reference-point technique: a pair
+  is counted only in the cell that contains the top-left corner of the
+  bbox-intersection — pure Column math;
+- bbox/point queries finish exactly in Column ops (rect overlap is
+  exact for our rectangular footprints); only irregular polygons take
+  the Arrow-batched numpy refine kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .cells import DEFAULT_RES, cell_of_point, cover_bbox
+from .predicates import rects_intersect_polygon
+from .wkbio import parse_wkb
+
+QUERY_COLS = ["query_id", "kind", "qxmin", "qymin", "qxmax", "qymax",
+              "geometry"]
+
+
+def explode_page_cells(pages: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
+    return pages.withColumn(
+        "cell", F.explode(cover_bbox(
+            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"), res)))
+
+
+def explode_query_cells(queries: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
+    return queries.withColumn(
+        "cell", F.explode(cover_bbox(
+            F.col("qxmin"), F.col("qymin"), F.col("qxmax"), F.col("qymax"),
+            res)))
+
+
+def _rect_overlap():
+    return ((F.col("xmin") <= F.col("qxmax")) & (F.col("xmax") >= F.col("qxmin"))
+            & (F.col("ymin") <= F.col("qymax")) & (F.col("ymax") >= F.col("qymin")))
+
+
+def _reference_point_dedup(res: int):
+    """Keep a candidate pair only in the cell owning the intersection's
+    min corner — exactly-once emission without a distinct shuffle."""
+    rx = F.greatest(F.col("xmin"), F.col("qxmin"))
+    ry = F.greatest(F.col("ymin"), F.col("qymin"))
+    return F.col("cell") == cell_of_point(rx, ry, res)
+
+
+def _mixed_refine(joined: DataFrame) -> DataFrame:
+    """Exact residual over the mixed candidate stream: non-polygon
+    kinds pass through (rect overlap already exact), polygon kinds get
+    the rect × polygon kernel. One pass — the pages subplan is never
+    duplicated. Arrow-batched; rings parsed once per distinct query
+    per batch."""
+    schema = joined.schema
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rings: dict[int, np.ndarray] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            keep = (pdf["kind"] != "polygon").to_numpy()
+            for qid in pdf.loc[~keep, "query_id"].unique():
+                m = ((pdf["query_id"] == qid)
+                     & (pdf["kind"] == "polygon")).to_numpy()
+                if qid not in rings:
+                    rings[qid] = parse_wkb(
+                        bytes(pdf.loc[m, "geometry"].iloc[0]))[1]
+                keep[m] = rects_intersect_polygon(
+                    pdf.loc[m, "xmin"].to_numpy(),
+                    pdf.loc[m, "ymin"].to_numpy(),
+                    pdf.loc[m, "xmax"].to_numpy(),
+                    pdf.loc[m, "ymax"].to_numpy(),
+                    rings[qid])
+            yield pdf[keep]
+
+    return joined.mapInPandas(refine, schema=schema)
+
+
+def spatial_join(pages: DataFrame, queries: DataFrame,
+                 res: int = DEFAULT_RES,
+                 broadcast_queries: bool = True,
+                 page_cols: list[str] | None = None) -> DataFrame:
+    """pages ⋈_ST_Intersects queries → (query_id, kind, *page_cols).
+
+    pages must carry footprint bbox columns xmin/ymin/xmax/ymax
+    (from geocode.with_geocode); queries carry QUERY_COLS.
+
+    If the query set contains no polygons the whole join is pure
+    Column math (zero Python). With polygons, one Arrow-batched refine
+    pass runs over the (output-sized) candidate stream — the pages
+    scan still happens exactly once.
+    """
+    page_cols = page_cols or [c for c in pages.columns
+                              if c not in ("html", "text")]
+    has_polygons = bool(
+        queries.where(F.col("kind") == "polygon").limit(1).count())
+
+    qcols = QUERY_COLS if has_polygons else [c for c in QUERY_COLS
+                                             if c != "geometry"]
+    p = explode_page_cells(pages.select(*dict.fromkeys(
+        page_cols + ["xmin", "ymin", "xmax", "ymax"])), res)
+    q = explode_query_cells(queries.select(*qcols), res)
+    if broadcast_queries:
+        q = F.broadcast(q)
+
+    joined = (p.join(q, "cell")
+              .where(_rect_overlap())
+              .where(_reference_point_dedup(res)))
+    if has_polygons:
+        joined = _mixed_refine(joined)
+    out_cols = ["query_id", "kind"] + page_cols
+    return joined.select(*out_cols)

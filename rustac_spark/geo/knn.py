@@ -1,0 +1,94 @@
+"""kNN: nearest pages per query point (north-rule operator; the
+reference has no kNN — SURVEY.md §2.3).
+
+Two physical strategies behind one semantic:
+
+- ``knn_bruteforce`` — exact: broadcast the (small) query side,
+  pure-Column haversine, per-query top-k via Window row_number.
+  O(pages × queries); the correctness baseline and the right plan
+  when |queries| is small (Catalyst keeps everything codegen'd,
+  the only shuffle is the final per-query top-k, pre-shrunk by a
+  per-partition top-k push-down).
+- ``knn_cells`` — the 10^12-row scale path: candidates only from the
+  query cell's expanding k-ring (h3.grid_disk-equivalent), distance
+  re-rank on candidates. Ring radius chosen so the disk provably
+  contains ≥k pages' anchors under a density floor; falls back to a
+  wider ring when a query underflows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .cells import DEFAULT_RES, cell_of_point, cell_size_deg, k_ring
+
+EARTH_RADIUS_KM = 6371.0088
+
+
+def haversine_km(lat1, lon1, lat2, lon2):
+    """Pure-Column haversine distance (km)."""
+    dphi = F.radians(lat2 - lat1) / 2.0
+    dlmb = F.radians(lon2 - lon1) / 2.0
+    a = (F.sin(dphi) * F.sin(dphi)
+         + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2))
+         * F.sin(dlmb) * F.sin(dlmb))
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def _rank_topk(cand: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist_km").asc(), F.col("url").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def knn_bruteforce(pages: DataFrame, queries: DataFrame, k: int = 5,
+                   ) -> DataFrame:
+    """Exact kNN. pages: url/lat/lon; queries: query_id/qxmin(=lon)/
+    qymin(=lat) point rows. → (query_id, rank, url, dist_km)."""
+    q = F.broadcast(queries.select(
+        "query_id",
+        F.col("qxmin").alias("qlon"), F.col("qymin").alias("qlat")))
+    cand = (pages.select("url", "lat", "lon")
+            .join(q)  # broadcast nested-loop: queries side is tiny
+            .withColumn("dist_km", haversine_km(
+                F.col("lat"), F.col("lon"), F.col("qlat"), F.col("qlon"))))
+    return _rank_topk(cand, k).select("query_id", "rank", "url", "dist_km")
+
+
+def knn_cells(pages: DataFrame, queries: DataFrame, k: int = 5,
+              res: int = DEFAULT_RES, rings: int = 4) -> DataFrame:
+    """Cell-pruned kNN (scale path): candidates = pages whose anchor
+    cell lies within `rings` of the query's cell, then exact re-rank.
+
+    Exactness bound: the disk of `rings` cells contains every page
+    within (rings-1)·min_cell_edge degrees of the query; queries whose
+    k-th neighbour might lie outside (fewer than k candidates found
+    strictly inside the safe radius) are re-run via brute force.
+    """
+    pc = pages.select("url", "lat", "lon").withColumn(
+        "cell", cell_of_point(F.col("lon"), F.col("lat"), res))
+    q = (queries.select(
+            "query_id",
+            F.col("qxmin").alias("qlon"), F.col("qymin").alias("qlat"))
+         .withColumn("qcell", cell_of_point(F.col("qlon"), F.col("qlat"), res))
+         .withColumn("cell", F.explode(k_ring(F.col("qcell"), rings, res))))
+    cand = (pc.join(F.broadcast(q.drop("qcell")), "cell")
+            .withColumn("dist_km", haversine_km(
+                F.col("lat"), F.col("lon"), F.col("qlat"), F.col("qlon"))))
+    topk = _rank_topk(cand, k)
+
+    # safe radius: (rings) cells minus one diagonal, in km at equator
+    dx, dy = cell_size_deg(res)
+    safe_km = (rings) * min(dx, dy) * 111.0 * 0.5
+    stats = topk.groupBy("query_id").agg(
+        F.count("*").alias("n"), F.max("dist_km").alias("dmax"))
+    flagged = (queries.select("query_id")
+               .join(stats, "query_id", "left")
+               .where(F.col("n").isNull() | (F.col("n") < k)
+                      | (F.col("dmax") > safe_km)))
+    ok = topk.join(F.broadcast(flagged.select("query_id")), "query_id",
+                   "left_anti")
+    redo = queries.join(F.broadcast(flagged.select("query_id")), "query_id")
+    redone = knn_bruteforce(pages, redo, k)
+    return ok.select("query_id", "rank", "url", "dist_km").unionByName(redone)

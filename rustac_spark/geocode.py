@@ -43,19 +43,22 @@ def _domain_of(urls: pd.Series) -> pd.Series:
 def geocode_pandas(urls: pd.Series) -> pd.DataFrame:
     """Batch kernel: urls → lat/lon/bbox columns (float64)."""
     domains = _domain_of(urls)
-    hd = stable_hash_batch(domains.tolist()).astype(np.float64)
-    hdx = stable_hash_batch((domains + "x").tolist()).astype(np.float64)
+    # NOTE: integer modulo BEFORE any float cast — uint64 hashes exceed
+    # float64's 53-bit mantissa, so mod-after-cast silently diverges
+    # from the exact stable_hash(x) % m spec (FIXTURES.md §1).
+    hd = stable_hash_batch(domains.tolist())
+    hdx = stable_hash_batch((domains + "x").tolist())
     hu = stable_hash_batch(urls.tolist())
-    hlat = stable_hash_batch((urls + ":lat").tolist()).astype(np.float64)
-    hlon = stable_hash_batch((urls + ":lon").tolist()).astype(np.float64)
+    hlat = stable_hash_batch((urls + ":lat").tolist())
+    hlon = stable_hash_batch((urls + ":lon").tolist())
 
-    lat_dom = np.mod(hd, 170_000.0) / 1000.0 - 85.0
-    lon_dom = np.mod(hdx, 360_000.0) / 1000.0 - 180.0
-    lat = lat_dom + (np.mod(hlat, 100_001.0) / 100_000.0 - 0.5) * 0.1
-    lon = lon_dom + (np.mod(hlon, 100_001.0) / 100_000.0 - 0.5) * 0.1
+    lat_dom = (hd % 170_000).astype(np.float64) / 1000.0 - 85.0
+    lon_dom = (hdx % 360_000).astype(np.float64) / 1000.0 - 180.0
+    lat = lat_dom + ((hlat % 100_001).astype(np.float64) / 100_000.0 - 0.5) * 0.1
+    lon = lon_dom + ((hlon % 100_001).astype(np.float64) / 100_000.0 - 0.5) * 0.1
     lat = np.clip(lat, -LAT_LIMIT, LAT_LIMIT)
     lon = np.clip(lon, -LON_LIMIT, LON_LIMIT)
-    delta = 0.001 + np.mod(hu.astype(np.float64), 100.0) / 10000.0
+    delta = 0.001 + (hu % 100).astype(np.float64) / 10000.0
     return pd.DataFrame({
         "lat": lat, "lon": lon,
         "xmin": lon - delta, "ymin": lat - delta,

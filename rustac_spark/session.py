@@ -14,8 +14,26 @@ local[32]):
 from __future__ import annotations
 
 import os
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def package_zip() -> str:
+    """Zip the rustac_spark package for --py-files-style shipping
+    (executors' Python workers must import it for pandas UDFs)."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join("/tmp", "rustac_spark_pkg.zip")
+    with zipfile.ZipFile(out, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    return out
 
 
 def get_spark(app: str = "rustac-spark", master: str | None = None,
@@ -38,4 +56,9 @@ def get_spark(app: str = "rustac-spark", master: str | None = None,
         .config("spark.driver.memory", os.environ.get("RUSTAC_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    # self-ship the package so executor Python workers can unpickle
+    # pandas-UDF closures regardless of the driver's cwd (the
+    # spark-submit --py-files deployment story, automated)
+    spark.sparkContext.addPyFile(package_zip())
+    return spark

@@ -1,0 +1,206 @@
+"""Spatial layer: cells, join (vs independent DuckDB / winding-number
+oracles), kNN, tiles."""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rustac_spark import DATA_DIR
+from rustac_spark.geo import cells
+from rustac_spark.geo.join import spatial_join
+from rustac_spark.geo.knn import knn_bruteforce, knn_cells
+from rustac_spark.geo.tiles import explode_tiles
+from rustac_spark.geo.wkbio import parse_wkb
+from rustac_spark.geocode import with_geocode
+
+PAGES = f"{DATA_DIR}/pages_sf0.001.parquet"
+GEO = f"{DATA_DIR}/pages_geo_sf0.001.parquet"
+QUERIES = f"{DATA_DIR}/queries.parquet"
+
+
+@pytest.fixture(scope="module")
+def pages_geo(spark):
+    df = with_geocode(spark.read.parquet(PAGES)).drop("html", "text")
+    df.cache().count()
+    return df
+
+
+def test_geocode_matches_committed_expectation(pages_geo):
+    """The committed pages_geo parquet is the oracle for the engine's
+    live geocode UDF — full row equality."""
+    got = {r["url"]: (r["lat"], r["lon"], r["xmin"], r["ymax"])
+           for r in pages_geo.collect()}
+    exp = duckdb.sql(f"SELECT url, lat, lon, xmin, ymax "
+                     f"FROM read_parquet('{GEO}')").fetchall()
+    assert len(got) == len(exp)
+    for url, lat, lon, xmin, ymax in exp:
+        g = got[url]
+        assert g == (lat, lon, xmin, ymax)
+
+
+def test_cell_cover_contains_point_cell(spark):
+    df = spark.range(1).select(
+        F.lit(12.3).alias("x"), F.lit(45.6).alias("y"))
+    row = df.select(
+        cells.cell_of_point(F.col("x"), F.col("y")).alias("pc"),
+        cells.cover_bbox(F.col("x") - 0.5, F.col("y") - 0.5,
+                         F.col("x") + 0.5, F.col("y") + 0.5).alias("cov"),
+    ).collect()[0]
+    assert row["pc"] in row["cov"]
+    res, x, y = cells.decode_py(row["pc"])
+    assert res == cells.DEFAULT_RES
+
+
+def test_k_ring_and_children(spark):
+    df = spark.range(1).select(
+        cells.cell_of_point(F.lit(0.1), F.lit(0.1)).alias("c"))
+    row = df.select(
+        cells.k_ring(F.col("c"), 1).alias("ring"),
+        cells.children(F.col("c"), cells.DEFAULT_RES).alias("kids"),
+        "c").collect()[0]
+    assert len(row["ring"]) == 9 and row["c"] in row["ring"]
+    assert len(row["kids"]) == 4
+    for kid in row["kids"]:
+        r, x, y = cells.decode_py(kid)
+        assert r == cells.DEFAULT_RES + 1
+
+
+def _oracle_pairs_rect(kind: str) -> set:
+    sql = f"""
+      SELECT q.query_id, g.url
+      FROM read_parquet('{QUERIES}') q, read_parquet('{GEO}') g
+      WHERE q.kind = '{kind}'
+        AND g.xmin <= q.qxmax AND g.xmax >= q.qxmin
+        AND g.ymin <= q.qymax AND g.ymax >= q.qymin
+    """
+    return set(map(tuple, duckdb.sql(sql).fetchall()))
+
+
+def _winding_inside(px, py, ring):
+    """Independent PIP oracle (winding number; engine uses ray casting)."""
+    wn = np.zeros(px.shape)
+    r = ring[:-1] if np.array_equal(ring[0], ring[-1]) else ring
+    n = len(r)
+    for i in range(n):
+        x1, y1 = r[i]
+        x2, y2 = r[(i + 1) % n]
+        left = (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1)
+        wn += np.where((y1 <= py) & (y2 > py) & (left > 0), 1, 0)
+        wn -= np.where((y1 > py) & (y2 <= py) & (left < 0), 1, 0)
+    return wn != 0
+
+
+def _oracle_pairs_polygon() -> set:
+    qs = duckdb.sql(f"SELECT query_id, geometry FROM read_parquet('{QUERIES}')"
+                    " WHERE kind='polygon'").fetchall()
+    g = duckdb.sql(f"SELECT url, xmin, ymin, xmax, ymax, lat, lon "
+                   f"FROM read_parquet('{GEO}')").df()
+    out = set()
+    for qid, wkb in qs:
+        ring = parse_wkb(bytes(wkb))[1]
+        # sample-based exact check: rect corners/centre in polygon OR
+        # polygon vertex in rect OR edge crossing — replicate via dense
+        # sampling of the rect boundary + winding PIP (independent of
+        # the engine's Liang-Barsky/ray-casting path)
+        hit = np.zeros(len(g), dtype=bool)
+        for fx in np.linspace(0, 1, 9):
+            for fy in np.linspace(0, 1, 9):
+                px = g["xmin"] + fx * (g["xmax"] - g["xmin"])
+                py = g["ymin"] + fy * (g["ymax"] - g["ymin"])
+                hit |= _winding_inside(px.to_numpy(), py.to_numpy(), ring)
+        # plus polygon vertex inside rect
+        for vx, vy in ring:
+            hit |= ((g["xmin"] <= vx) & (vx <= g["xmax"])
+                    & (g["ymin"] <= vy) & (vy <= g["ymax"])).to_numpy()
+        out |= {(qid, u) for u in g.loc[hit, "url"]}
+    return out
+
+
+def test_spatial_join_bbox_and_point_vs_duckdb(spark, pages_geo, queries_df):
+    out = spatial_join(pages_geo, queries_df)
+    got = {(r["query_id"], r["url"])
+           for r in out.where(F.col("kind") != "polygon").collect()}
+    exp = _oracle_pairs_rect("bbox") | _oracle_pairs_rect("point")
+    assert got == exp
+    assert len(got) > 0
+
+
+def test_spatial_join_polygon_superset_of_sampled_oracle(
+        spark, pages_geo, queries_df):
+    out = spatial_join(pages_geo, queries_df)
+    got = {(r["query_id"], r["url"])
+           for r in out.where(F.col("kind") == "polygon").collect()}
+    exp = _oracle_pairs_polygon()
+    # sampling can only under-approximate edge-crossing-only hits:
+    # engine result must contain every sampled hit, and any extras must
+    # be genuine near-boundary cases (bbox overlap at minimum)
+    assert exp <= got
+    rect_prefilter = _oracle_pairs_polygon_bbox_superset()
+    assert got <= rect_prefilter
+    assert len(got) > 0
+
+
+def _oracle_pairs_polygon_bbox_superset() -> set:
+    return _oracle_pairs_rect("polygon")
+
+
+def test_spatial_join_no_duplicates(spark, pages_geo, queries_df):
+    out = spatial_join(pages_geo, queries_df).groupBy(
+        "query_id", "url").count().where(F.col("count") > 1)
+    assert out.count() == 0
+
+
+def test_knn_bruteforce_vs_duckdb(spark, pages_geo, queries_df):
+    qpts = queries_df.where(F.col("kind") == "point").limit(10)
+    got = {(r["query_id"], r["rank"], r["url"])
+           for r in knn_bruteforce(pages_geo, qpts, k=5).collect()}
+    sql = f"""
+      WITH q AS (SELECT query_id, qxmin qlon, qymin qlat
+                 FROM read_parquet('{QUERIES}') WHERE kind='point'
+                 ORDER BY query_id LIMIT 10),
+      d AS (SELECT q.query_id, g.url,
+              2*6371.0088*asin(sqrt(
+                pow(sin(radians(g.lat-q.qlat)/2),2)
+                + cos(radians(q.qlat))*cos(radians(g.lat))
+                  *pow(sin(radians(g.lon-q.qlon)/2),2))) dist
+            FROM q, read_parquet('{GEO}') g)
+      SELECT query_id, rank, url FROM (
+        SELECT query_id, url,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dist, url) rank
+        FROM d) WHERE rank <= 5
+    """
+    exp = set(map(tuple, duckdb.sql(sql).fetchall()))
+    assert got == exp
+
+
+def test_knn_cells_matches_bruteforce(spark, pages_geo, queries_df):
+    qpts = queries_df.where(F.col("kind") == "point").limit(10)
+    a = {(r["query_id"], r["rank"], r["url"])
+         for r in knn_cells(pages_geo, qpts, k=5).collect()}
+    b = {(r["query_id"], r["rank"], r["url"])
+         for r in knn_bruteforce(pages_geo, qpts, k=5).collect()}
+    assert a == b
+
+
+def test_tiles_vs_duckdb(spark, pages_geo):
+    z = 10
+    out = explode_tiles(pages_geo.select("url", "xmin", "ymin",
+                                         "xmax", "ymax"), z)
+    got = {(r["url"], r["tile_x"], r["tile_y"]) for r in out.collect()}
+    n = 1 << z
+    sql = f"""
+      WITH g AS (SELECT url, xmin, ymin, xmax, ymax FROM read_parquet('{GEO}')),
+      b AS (SELECT url,
+        greatest(0, least({n-1}, CAST(floor((xmin+180)/360*{n}) AS BIGINT))) tx0,
+        greatest(0, least({n-1}, CAST(floor((xmax+180)/360*{n}) AS BIGINT))) tx1,
+        greatest(0, least({n-1}, CAST(floor((1 - ln(tan(radians(least(85.05112878, greatest(-85.05112878, ymax)))) + 1/cos(radians(least(85.05112878, greatest(-85.05112878, ymax)))))/pi())/2*{n}) AS BIGINT))) ty0,
+        greatest(0, least({n-1}, CAST(floor((1 - ln(tan(radians(least(85.05112878, greatest(-85.05112878, ymin)))) + 1/cos(radians(least(85.05112878, greatest(-85.05112878, ymin)))))/pi())/2*{n}) AS BIGINT))) ty1
+        FROM g)
+      SELECT url, tile_x, unnest(generate_series(ty0, ty1)) tile_y
+      FROM (SELECT url, unnest(generate_series(tx0, tx1)) tile_x, ty0, ty1
+            FROM b)
+    """
+    exp = set(map(tuple, duckdb.sql(sql).fetchall()))
+    assert got == exp
