@@ -133,3 +133,36 @@ def spatial_join(pages: DataFrame, queries: DataFrame,
         joined = _mixed_refine(joined)
     out_cols = ["query_id", "kind"] + page_cols
     return joined.select(*out_cols)
+
+
+def spatio_temporal_join(pages: DataFrame, queries: DataFrame,
+                         res: int = DEFAULT_RES,
+                         ts_col: str = "warc_ts") -> DataFrame:
+    """Spatial join + STAC datetime-interval filter on the page
+    timestamp (a page is an instant item: interval [ts, ts], both
+    bounds inclusive — reference crates/core/src/item.rs:527-554).
+
+    The per-query interval strings are parsed driver-side (the query
+    set is small by contract) with the reference-semantics parser and
+    joined back in as literal bounds, so the temporal predicate stays
+    a pure Column expression.
+    """
+    from ..stac.datetime_parse import parse_interval
+
+    qrows = queries.select("query_id", "datetime").collect()
+    bounds = []
+    for r in qrows:
+        if r["datetime"] is None:
+            bounds.append((r["query_id"], None, None))
+        else:
+            s, e = parse_interval(r["datetime"])
+            bounds.append((r["query_id"],
+                           s.replace(tzinfo=None) if s else None,
+                           e.replace(tzinfo=None) if e else None))
+    spark = pages.sparkSession
+    bdf = F.broadcast(spark.createDataFrame(
+        bounds, "query_id long, t_start timestamp, t_end timestamp"))
+    sj = spatial_join(pages, queries, res=res)
+    return (sj.join(bdf, "query_id")
+            .where((F.col("t_start").isNull() | (F.col(ts_col) >= F.col("t_start")))
+                   & (F.col("t_end").isNull() | (F.col(ts_col) <= F.col("t_end")))))

@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (north-rule training-data
+operator): brute-force cosine top-k baseline + LSH-bucketed scale path.
+
+Brute force is pure Column math — F.zip_with/F.aggregate dot products
+in whole-stage codegen, broadcast query side, per-query top-k window.
+Exact, and the correctness oracle for the approximate variant.
+
+The scale path buckets vectors by random-hyperplane signs (deterministic
+planes from sha256) so only same/neighbor-bucket pairs are scored —
+the IVF/LSH shape that survives 10^12 rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..hashing import stable_hash
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _as_double(col):
+    return F.transform(col, lambda v: v.cast("double"))
+
+
+def knn_bruteforce(vectors: DataFrame, queries: DataFrame, k: int = 5,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   qid_col: str = "query_id", qvec_col: str = "qvec",
+                   ) -> DataFrame:
+    """Exact cosine top-k: → (query_id, rank, vec_id, cosine_sim).
+    Excludes self-matches when ids collide."""
+    v = vectors.select(F.col(id_col),
+                       _as_double(F.col(vec_col)).alias("v"))
+    q = F.broadcast(queries.select(F.col(qid_col),
+                                   _as_double(F.col(qvec_col)).alias("q")))
+    cand = (v.join(q)
+            .where(F.col(id_col) != F.col(qid_col))
+            .withColumn("cosine_sim", F.round(cosine(F.col("v"), F.col("q")), 6)))
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(qid_col, "rank", id_col, "cosine_sim"))
+
+
+def _hyperplanes(dim: int, nbits: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes from sha256 streams."""
+    vals = np.array([
+        (stable_hash(f"plane:{b}:{d}") / 2.0**64) * 2.0 - 1.0
+        for b in range(nbits) for d in range(dim)])
+    return vals.reshape(nbits, dim)
+
+
+def lsh_bucket_col(vec_col, planes: np.ndarray):
+    """Sign-bucket id of a vector column under the given hyperplanes —
+    pure Column fold (no UDF)."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(vec_col,
+                       F.array(*[F.lit(float(x)) for x in plane]),
+                       lambda a, b: a * b),
+            F.lit(0.0), lambda acc, v: acc + v)
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def knn_lsh(vectors: DataFrame, queries: DataFrame, k: int = 5,
+            nbits: int = 4, dim: int = 64,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            qid_col: str = "query_id", qvec_col: str = "qvec") -> DataFrame:
+    """Approximate top-k: score only vectors in the query's sign bucket
+    (plus 1-bit-flip neighbor buckets for recall)."""
+    planes = _hyperplanes(dim, nbits)
+    v = vectors.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    v = v.withColumn("bucket", lsh_bucket_col(F.col("v"), planes))
+    q = queries.select(F.col(qid_col), _as_double(F.col(qvec_col)).alias("q"))
+    q = q.withColumn("qbucket", lsh_bucket_col(F.col("q"), planes))
+    # probe own bucket + all 1-bit flips (multi-probe LSH)
+    probes = F.array(*([F.col("qbucket")] +
+                       [F.col("qbucket").bitwiseXOR(F.lit(1 << i))
+                        for i in range(nbits)]))
+    q = F.broadcast(q.withColumn("bucket", F.explode(probes)).drop("qbucket"))
+    cand = (v.join(q, "bucket")
+            .where(F.col(id_col) != F.col(qid_col))
+            .withColumn("cosine_sim", F.round(cosine(F.col("v"), F.col("q")), 6)))
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(qid_col, "rank", id_col, "cosine_sim"))
+
+
+def near_dup_pairs_cosine(vectors: DataFrame, threshold: float = 0.95,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          block_col: str | None = "label") -> DataFrame:
+    """Embedding-cosine near-dup pairs (a < b, sim ≥ threshold).
+    Blocked by `block_col` when given (only intra-block pairs are
+    scored — the practical contract for near-dup at scale); all-pairs
+    otherwise."""
+    v = vectors.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"),
+                       *( [F.col(block_col)] if block_col else []))
+    a = v.select(F.col(id_col).alias("a"), F.col("v").alias("va"),
+                 *([F.col(block_col)] if block_col else []))
+    b = v.select(F.col(id_col).alias("b"), F.col("v").alias("vb"),
+                 *([F.col(block_col)] if block_col else []))
+    joined = a.join(b, on=block_col) if block_col else a.crossJoin(b)
+    return (joined.where(F.col("a") < F.col("b"))
+            .withColumn("cosine_sim",
+                        F.round(cosine(F.col("va"), F.col("vb")), 6))
+            .where(F.col("cosine_sim") >= threshold)
+            .select("a", "b", "cosine_sim"))

@@ -62,9 +62,12 @@ def pages_batch(ids: np.ndarray) -> pd.DataFrame:
 
     hu = stable_hash_batch(urls.tolist())
     hd = stable_hash_batch(domains.tolist())
-    lang = [LANGS[int(h % 8)] for h in hd]
+    # int(h) BEFORE the mod: scalar np.uint64 % python-int promotes to
+    # float64 in numpy (arrays don't) and silently corrupts the low bits
+    lang = [LANGS[int(h) % 8] for h in hd]
 
-    ts = (EPOCH_2024 + (hu % YEAR_SECONDS).astype(np.int64)).astype("datetime64[s]")
+    ts = (EPOCH_2024 + (hu % np.uint64(YEAR_SECONDS)).astype(np.int64)
+          ).astype("datetime64[s]")
 
     texts, htmls = [], []
     for h, lg in zip(hu, lang):
@@ -157,11 +160,21 @@ def queries_pandas(n_queries: int = 60) -> pd.DataFrame:
             xs = [p[0] for p in pts]
             ys = [p[1] for p in pts]
             xmin, ymin, xmax, ymax = min(xs), min(ys), max(xs), max(ys)
+        dt = QUERY_DATETIMES[q % len(QUERY_DATETIMES)]
+        # normalized inclusive bounds (stored for the SQL oracle; the
+        # engine re-parses the string live — the parser itself is
+        # verified against the reference's 11-case table)
+        t_start = t_end = None
+        if dt is not None:
+            from .stac.datetime_parse import parse_interval
+            s, e = parse_interval(dt)
+            t_start = pd.Timestamp(s.replace(tzinfo=None)) if s else None
+            t_end = pd.Timestamp(e.replace(tzinfo=None)) if e else None
         rows.append({
             "query_id": q, "kind": kind,
             "qxmin": xmin, "qymin": ymin, "qxmax": xmax, "qymax": ymax,
             "geometry": geom,
-            "datetime": QUERY_DATETIMES[q % len(QUERY_DATETIMES)],
+            "datetime": dt, "t_start": t_start, "t_end": t_end,
         })
     return pd.DataFrame(rows)
 

@@ -1,0 +1,104 @@
+"""Text analysis operators for training-data pipelines (north-rule
+first-class additions; no reference counterpart): token counting,
+quality scoring, language ID, fingerprinting.
+
+All pure Column expressions — they run in whole-stage codegen and
+never leave the JVM, so they cost the same as built-in SQL functions
+at 100 TB. Every operator has an exact DuckDB-SQL oracle twin in
+__spark_entry__.oracle_sql().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# tiny per-language stopword profiles (language ID by stopword votes)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "it", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "un", "une"],
+    "es": ["el", "la", "los", "y", "es", "no", "un", "una"],
+}
+
+PUNCT_CLASS = r"[.,!?;:]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of trimmed text (empty text → empty array)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    p = n - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(p.cast("double") / n)
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = tokens(F.lower(text))
+    hits = F.size(F.array_intersect(
+        F.array_distinct(toks),
+        F.array(*[F.lit(w) for w in STOPWORDS[lang]])))
+    n = F.size(F.array_distinct(toks))
+    return F.when(n <= 0, F.lit(0.0)).otherwise(hits.cast("double") / n)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation
+    + presence of stopwords (C4-style signals, simplified)."""
+    n = F.length(text)
+    len_ok = F.when((n >= 100) & (n <= 20000), 1.0).otherwise(0.5)
+    punct_ok = F.when(punct_ratio(text) < 0.1, 1.0).otherwise(0.5)
+    stop_ok = F.when(stopword_ratio(text) > 0.01, 1.0).otherwise(0.5)
+    return F.round((len_ok + punct_ok + stop_ok) / F.lit(3.0), 6)
+
+
+def lang_votes(text: Column) -> dict[str, Column]:
+    toks = F.array_distinct(tokens(F.lower(text)))
+    return {lg: F.size(F.array_intersect(
+                toks, F.array(*[F.lit(w) for w in ws])))
+            for lg, ws in STOPWORDS.items()}
+
+
+def lang_id(text: Column) -> Column:
+    """argmax of stopword votes; ties broken by language-code order;
+    all-zero → 'und'. Pure Column chain (JVM-side)."""
+    votes = lang_votes(text)
+    langs = sorted(votes)
+    best = F.greatest(*[votes[lg] for lg in langs])
+    expr = F.lit("und")
+    for lg in reversed(langs):
+        expr = F.when((votes[lg] == best) & (best > 0), F.lit(lg)).otherwise(expr)
+    return expr
+
+
+def fingerprint_sha256(text: Column) -> Column:
+    """Exact-content fingerprint (hex sha256) — matches DuckDB
+    sha256(text)."""
+    return F.sha2(text, 256)
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via hash-groupBy: one row per distinct text with the
+    kept (minimum) id and the duplicate count. Map-side partial
+    aggregation makes this a single shuffle of distinct hashes."""
+    return (df.groupBy(fingerprint_sha256(F.col(text_col)).alias("fingerprint"))
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count("*").alias("n_copies")))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return (df
+            .withColumn("n_chars", F.length(t))
+            .withColumn("n_tokens", token_count(t))
+            .withColumn("punct_ratio", F.round(punct_ratio(t), 6))
+            .withColumn("stopword_ratio", F.round(stopword_ratio(t), 6))
+            .withColumn("quality", quality_score(t))
+            .withColumn("lang_pred", lang_id(t)))

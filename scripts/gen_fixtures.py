@@ -77,8 +77,15 @@ def main() -> None:
         write(pa.Table.from_pandas(geo, preserve_index=False),
               f"pages_geo_{sf}")
 
-    write(pa.Table.from_pandas(queries_pandas(), preserve_index=False),
-          "queries")
+    queries_schema = pa.schema([
+        ("query_id", pa.int64()), ("kind", pa.string()),
+        ("qxmin", pa.float64()), ("qymin", pa.float64()),
+        ("qxmax", pa.float64()), ("qymax", pa.float64()),
+        ("geometry", pa.binary()), ("datetime", pa.string()),
+        ("t_start", pa.timestamp("us")), ("t_end", pa.timestamp("us")),
+    ])
+    write(pa.Table.from_pandas(queries_pandas(), schema=queries_schema,
+                               preserve_index=False), "queries")
 
     for name, pdf in [("stac_items", stac_items_pandas()),
                       ("stac_items_interval", stac_items_interval_pandas())]:

@@ -1,0 +1,130 @@
+"""Training-data operators: dedup (exact/minhash/simhash), text stats,
+ANN — verified against independent Python oracles."""
+
+import itertools
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from rustac_spark.textops.minhash import (
+    minhash_signature, near_dup_pairs, shingles,
+)
+from rustac_spark.textops.simhash import near_dup_pairs_simhash, simhash64
+from rustac_spark.textops.basic import exact_dedup_groups, with_text_stats
+from rustac_spark.ml.ann import knn_bruteforce, knn_lsh
+
+
+BASE = ("the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep dark forest to find some food for its cubs")
+
+
+def _corpus():
+    """40 docs: 10 clusters of 2 near-dups (jaccard ~0.9 within, <0.2
+    across — far from the 0.7 threshold so LSH recall is deterministic
+    in practice) + 20 distinct."""
+    rows = []
+    i = 0
+    for c in range(10):
+        doc = " ".join(f"cluster{c}word{j}token{c * 31 + j}" for j in range(40))
+        rows.append((i, doc)); i += 1
+        rows.append((i, doc.replace(f"cluster{c}word3", "REPLACED", 1)))
+        i += 1
+    for c in range(20):
+        rows.append((i, " ".join(f"unique{c}w{j}x{c*j}" for j in range(30))))
+        i += 1
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = spark.createDataFrame(_corpus())
+    df.cache().count()
+    return df
+
+
+def _exact_jaccard_pairs(pdf, threshold):
+    sets = {r.doc_id: shingles(r.text) for r in pdf.itertuples()}
+    out = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        u = len(sets[a] | sets[b])
+        if u and len(sets[a] & sets[b]) / u >= threshold:
+            out.add((a, b))
+    return out
+
+
+def test_minhash_signature_deterministic():
+    s1 = minhash_signature("hello world this is a test")
+    s2 = minhash_signature("hello world this is a test")
+    assert (s1 == s2).all() and len(s1) == 64
+
+
+def test_minhash_similar_texts_share_signature_slots():
+    a = minhash_signature(BASE)
+    b = minhash_signature(BASE.replace("quick", "swift", 1))
+    c = minhash_signature("completely different text entirely")
+    assert (a == b).mean() > 0.5
+    assert (a == c).mean() < 0.2
+
+
+def test_near_dup_pairs_precision_and_recall(spark, corpus):
+    got = {(r["a"], r["b"])
+           for r in near_dup_pairs(corpus, threshold=0.7).collect()}
+    exact = _exact_jaccard_pairs(_corpus(), 0.7)
+    # precision 1 by construction (exact verify step)
+    assert got <= exact
+    # recall: every true pair ≥ 0.7 found (16 bands × 4 rows is sensitive
+    # down to ~0.55 jaccard with high probability)
+    assert got == exact
+    assert len(got) == 10  # the 10 constructed near-dup pairs
+
+
+def test_simhash_blocking_exact_for_small_distance(spark, corpus):
+    got = {(r["a"], r["b"], r["dist"])
+           for r in near_dup_pairs_simhash(corpus, max_distance=3).collect()}
+    # independent oracle: all-pairs hamming over driver-side simhashes
+    pdf = _corpus()
+    hs = {r.doc_id: simhash64(r.text) for r in pdf.itertuples()}
+    exp = set()
+    for a, b in itertools.combinations(sorted(hs), 2):
+        d = bin(hs[a] ^ hs[b]).count("1")
+        if d <= 3:
+            exp.add((a, b, d))
+    assert got == exp
+    assert len(got) > 0
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa")], ["doc_id", "text"])
+    rows = {r["fingerprint"][:8]: (r["keep_id"], r["n_copies"])
+            for r in exact_dedup_groups(df).collect()}
+    assert sorted(rows.values()) == [(1, 3), (2, 1)]
+
+
+def test_text_stats_columns(spark):
+    df = spark.createDataFrame(
+        [(0, BASE), (1, "der hund und die katze ist nicht da"),
+         (2, "zz9 qq8 xx7")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in with_text_stats(df).collect()}
+    assert out[0]["lang_pred"] == "en" and out[0]["n_tokens"] > 20
+    assert out[1]["lang_pred"] == "de"
+    assert out[2]["lang_pred"] == "und"
+    assert all(0.0 <= out[i]["quality"] <= 1.0 for i in out)
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    import numpy as np
+    rng = [(i, [float(x) for x in np.sin(np.arange(16) * (i + 1) * 0.7)])
+           for i in range(200)]
+    vec = spark.createDataFrame(rng, ["vec_id", "embedding"])
+    q = (vec.where(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qvec")))
+    exact = {(r["query_id"], r["vec_id"])
+             for r in knn_bruteforce(vec, q, k=3).collect()}
+    approx = {(r["query_id"], r["vec_id"])
+              for r in knn_lsh(vec, q, k=3, nbits=4, dim=16).collect()}
+    # multi-probe LSH over 4 bits: recall should be high on this set
+    assert len(approx & exact) / len(exact) >= 0.6
