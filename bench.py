@@ -1,0 +1,182 @@
+#!/usr/bin/env python
+"""Headline benchmark: end-to-end spatial-join + tile-assignment
+throughput (pages/sec) on the deterministic Common-Crawl-style pages
+table (BASELINE.md bench protocol).
+
+Pipeline (each stage materialized with lineage + commit markers):
+  prepare   scan → extract text (byte-invariant check) → geocode →
+            write prepared table
+  join      cell-indexed spatial join vs the 60-query probe set
+  st_join   spatio-temporal join (bbox kind + datetime intervals)
+  knn       k=5 nearest pages per point query
+  tiles     z6 + z10 web-mercator tile assignment + counts
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {stage: sec}, "sf": ..., "pages_per_sec": ...}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from rustac_spark import DATA_DIR
+from rustac_spark.session import get_spark
+
+SF_ROWS = {"sf0.001": 10_000, "sf0.01": 100_000, "sf0.1": 1_000_000}
+
+
+def sf_of(sf_dir: str) -> str:
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        if sf_dir.rstrip("/").endswith(sf):
+            return sf
+    return "sf0.1"
+
+
+def ensure_pages(spark, sf: str) -> str:
+    """Committed fixture when available; otherwise generate the
+    bench-scale table once (deterministic, cached on disk)."""
+    committed = f"{DATA_DIR}/pages_{sf}.parquet"
+    if os.path.exists(committed):
+        return committed
+    path = f"{DATA_DIR}/runtime/pages_{sf}.parquet"
+    if not os.path.exists(path):
+        from rustac_spark.synth import gen_pages
+        n = SF_ROWS[sf]
+        t0 = time.time()
+        gen_pages(spark, n, partitions=max(32, n // 31250)) \
+            .write.mode("overwrite").parquet(path)
+        print(f"# synthesized {n} pages in {time.time()-t0:.1f}s -> {path}",
+              file=sys.stderr)
+    return path
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_of(sf_dir)
+
+    spark = get_spark(f"bench-{sf}-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=2 * cpus,
+                      extra={
+                          # measured on this host: Janino/JIT compilation
+                          # of generated code causes 5-30s random stalls
+                          # on short stages (compile cost >> row cost at
+                          # bench scale; it amortizes on real 100TB
+                          # scans). Interpreted mode is stable and
+                          # faster here.
+                          "spark.sql.codegen.wholeStage": "false",
+                          # small input files need small split sizes for
+                          # full parallelism; ~4 tasks/core smooths the
+                          # straggler tail from hot-domain candidate skew
+                          "spark.sql.files.maxPartitionBytes":
+                              str(1024 * 1024),
+                      })
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from rustac_spark.geo.join import spatial_join
+    from rustac_spark.geo.knn import knn_cells
+    from rustac_spark.geo.tiles import explode_tiles
+    from rustac_spark.geocode import prepare_pages
+    from rustac_spark.pipeline.lineage import Pipeline
+    from rustac_spark.stac.datetime_parse import parse_interval
+
+    pages_path = ensure_pages(spark, sf)
+    queries = spark.read.parquet(f"{DATA_DIR}/queries.parquet")
+    n_pages = spark.read.parquet(pages_path).count()
+
+    bench_root = os.environ.get("RUSTAC_BENCH_DIR", "/dev/shm/rustac_bench")
+
+    def run_pipeline(run_dir: str) -> Pipeline:
+        pipe = Pipeline(spark, run_dir)
+        # single-pass ingest: extract text (invariant inline) + geocode
+        prepared = pipe.stage("prepare", lambda: prepare_pages(
+            spark.read.parquet(pages_path)))
+        bad = prepared.where(~F.col("text_ok")).count()
+        if bad:
+            print(f"# INVARIANT VIOLATION: {bad} rows", file=sys.stderr)
+
+        # materialize join PAIRS once; counts and the temporal join
+        # derive from the pairs instead of re-running the join.
+        pairs = pipe.stage("join_pairs", lambda: spatial_join(
+            prepared, queries, page_cols=["url", "warc_ts"]))
+
+        pipe.stage("join_counts", lambda: (
+            pairs.groupBy("query_id", "kind")
+            .agg(F.count("*").alias("n_matches"))))
+
+        def st_join():
+            qrows = queries.where(
+                (F.col("kind") == "bbox") & F.col("datetime").isNotNull()
+            ).select("query_id", "datetime").collect()
+            bounds = []
+            for r in qrows:
+                s, e = parse_interval(r["datetime"])
+                bounds.append((r["query_id"],
+                               s.replace(tzinfo=None) if s else None,
+                               e.replace(tzinfo=None) if e else None))
+            bdf = F.broadcast(spark.createDataFrame(
+                bounds,
+                "query_id long, t_start timestamp, t_end timestamp"))
+            return (pairs.join(bdf, "query_id")
+                    .where((F.col("t_start").isNull()
+                            | (F.col("warc_ts") >= F.col("t_start")))
+                           & (F.col("t_end").isNull()
+                              | (F.col("warc_ts") <= F.col("t_end"))))
+                    .groupBy("query_id")
+                    .agg(F.count("*").alias("n_matches")))
+
+        pipe.stage("st_join", st_join)
+
+        pipe.stage("knn", lambda: knn_cells(
+            prepared, queries.where(F.col("kind") == "point"), k=5))
+
+        pipe.stage("tiles", lambda: (
+            explode_tiles(explode_tiles(
+                prepared.select("url", "xmin", "ymin", "xmax", "ymax"), 6)
+                .drop("tile_z", "tile_x", "tile_y"), 10)
+            .groupBy("tile_x", "tile_y")
+            .agg(F.count("*").alias("n_pages"))))
+        return pipe
+
+    # warm-up pass pays per-session one-time costs (expression compile,
+    # python-worker spin-up, broadcast build) — BASELINE.md protocol:
+    # "≥2 warm runs each"; the measured pass reflects steady-state
+    # throughput, which is what scales to a long-running cluster job.
+    warm_dir = f"{bench_root}/warm_{sf}_{cpus}_{uuid.uuid4().hex[:8]}"
+    run_dir = f"{bench_root}/run_{sf}_{cpus}_{uuid.uuid4().hex[:8]}"
+    run_pipeline(warm_dir)
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    pipe = run_pipeline(run_dir)
+
+    total = sum(pipe.stage_seconds.values())
+    result = {
+        "metric": "spatial-join+tile pipeline wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in pipe.stage_seconds.items()},
+        "sf": sf,
+        "cpus": cpus,
+        "n_pages": n_pages,
+        "pages_per_sec": round(n_pages / total, 1) if total else None,
+        "run_dir": run_dir,
+    }
+    print(json.dumps(result))
+    shutil.rmtree(run_dir, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

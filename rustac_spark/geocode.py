@@ -40,14 +40,32 @@ def _domain_of(urls: pd.Series) -> pd.Series:
     return urls.str.split("/", n=3).str[2]
 
 
+_DOMAIN_CACHE: dict[str, tuple[int, int]] = {}
+
+
+def _domain_hashes(domains: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Per-domain hash pair, memoized — domains are few (zipf over
+    1000) while urls are billions, so hashing once per distinct domain
+    removes 2 of the 5 sha256 calls per row on the ingest hot path."""
+    uniq = [d for d in domains.unique() if d not in _DOMAIN_CACHE]
+    if uniq:
+        hs = stable_hash_batch(uniq)
+        hxs = stable_hash_batch([d + "x" for d in uniq])
+        for d, h, hx in zip(uniq, hs, hxs):
+            _DOMAIN_CACHE[d] = (int(h), int(hx))
+    pairs = domains.map(_DOMAIN_CACHE)
+    hd = np.fromiter((p[0] for p in pairs), dtype=np.uint64, count=len(pairs))
+    hdx = np.fromiter((p[1] for p in pairs), dtype=np.uint64, count=len(pairs))
+    return hd, hdx
+
+
 def geocode_pandas(urls: pd.Series) -> pd.DataFrame:
     """Batch kernel: urls → lat/lon/bbox columns (float64)."""
     domains = _domain_of(urls)
     # NOTE: integer modulo BEFORE any float cast — uint64 hashes exceed
     # float64's 53-bit mantissa, so mod-after-cast silently diverges
     # from the exact stable_hash(x) % m spec (FIXTURES.md §1).
-    hd = stable_hash_batch(domains.tolist())
-    hdx = stable_hash_batch((domains + "x").tolist())
+    hd, hdx = _domain_hashes(domains)
     hu = stable_hash_batch(urls.tolist())
     hlat = stable_hash_batch((urls + ":lat").tolist())
     hlon = stable_hash_batch((urls + ":lon").tolist())
@@ -71,6 +89,33 @@ def footprint_wkb_batch(g: pd.DataFrame) -> pd.Series:
         [bbox_polygon_wkb(a, b, c, d)
          for a, b, c, d in zip(g["xmin"], g["ymin"], g["xmax"], g["ymax"])],
         index=g.index, dtype=object)
+
+
+PREPARED_SCHEMA = ("url string, warc_ts timestamp, lang string, "
+                   "text_ok boolean, " + GEO_SCHEMA)
+
+
+def prepare_pages(df, url_col: str = "url"):
+    """Single-pass ingest kernel: extract text from html (enforcing the
+    byte-identical-per-url invariant inline), geocode, emit the
+    prepared page table. ONE mapInPandas = one Arrow round-trip —
+    the entire Python cost of the engine at 100 TB lives here."""
+    from .extract import extract_text_batch
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.reset_index(drop=True)
+            extracted = extract_text_batch(pdf["html"])
+            g = geocode_pandas(pdf[url_col])
+            out = pd.DataFrame({
+                "url": pdf[url_col],
+                "warc_ts": pdf["warc_ts"],
+                "lang": pdf["lang"],
+                "text_ok": (extracted == pdf["text"]).astype(bool),
+            })
+            yield pd.concat([out, g], axis=1)
+
+    return df.mapInPandas(gen, schema=PREPARED_SCHEMA)
 
 
 def with_geocode(df, url_col: str = "url", geometry: bool = False):

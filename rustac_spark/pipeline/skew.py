@@ -1,0 +1,68 @@
+"""Skew handling for the shuffle-join path (north-rule: "partitioning /
+shuffle / skew handled explicitly").
+
+The broadcast join needs none of this (the big side never shuffles).
+When BOTH sides are large (broadcast_queries=False), hot cells — zipf
+domains cluster pages into few cells — skew the hash partitions. Two
+levers, composable with AQE's skew-join splitting:
+
+- salting: append salt = pmod(xxhash64(url), n) to the big side's key
+  and explode the small side across all n salts (replication preserves
+  join correctness);
+- adaptive cell subdivision: cells whose row count exceeds a threshold
+  re-cover their footprints at res+1 (children), spreading one hot
+  partition over ≤4; the query side re-covers the same cells so the
+  equi-join keys still align (both sides use the identical rule ⇒
+  correctness preserved).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..geo.cells import DEFAULT_RES, children, cover_bbox
+
+
+def salted_join(big: DataFrame, small: DataFrame, key: str,
+                nsalts: int = 8, big_id: str = "url") -> DataFrame:
+    """Equi-join big ⋈ small on `key` with salted partitioning.
+    `small` is exploded nsalts× (replication), so result multiplicity
+    is unchanged."""
+    b = big.withColumn("_salt", F.pmod(F.xxhash64(F.col(big_id)),
+                                       F.lit(nsalts)).cast("int"))
+    s = small.withColumn("_salt", F.explode(F.array(
+        *[F.lit(i) for i in range(nsalts)])))
+    return b.join(s, [key, "_salt"]).drop("_salt")
+
+
+def hot_cells(pages_cells: DataFrame, threshold: int,
+              cell_col: str = "cell") -> DataFrame:
+    """Cells whose page count exceeds `threshold` (driver-collectable,
+    by construction few)."""
+    return (pages_cells.groupBy(cell_col)
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") > threshold)
+            .select(cell_col, "n"))
+
+
+def subdivide_cover(df: DataFrame, hot: set[int],
+                    res: int = DEFAULT_RES) -> DataFrame:
+    """Re-cover rows at res+1 when their cell is hot, keeping the
+    original cell otherwise. Requires footprint bbox columns; both join
+    sides must apply the same `hot` set for key alignment."""
+    if not hot:
+        return df
+    hot_arr = F.array(*[F.lit(c) for c in sorted(hot)])
+    # fine cover restricted to THIS row's coarse cell (a bbox can span
+    # several coarse cells — one exploded row each — so the fine cover
+    # must be intersected with the row's own cell's children to keep
+    # the exactly-once key structure)
+    fine_in_parent = F.array_intersect(
+        cover_bbox(F.col("xmin"), F.col("ymin"),
+                   F.col("xmax"), F.col("ymax"), res + 1),
+        children(F.col("cell"), res))
+    return (df.withColumn(
+        "cell",
+        F.explode(F.when(F.array_contains(hot_arr, F.col("cell")),
+                         fine_in_parent)
+                  .otherwise(F.array(F.col("cell"))))))

@@ -37,7 +37,8 @@ def package_zip() -> str:
 
 
 def get_spark(app: str = "rustac-spark", master: str | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              extra: dict | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle = shuffle_partitions or int(os.environ.get(
@@ -51,11 +52,24 @@ def get_spark(app: str = "rustac-spark", master: str | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
-        .config("spark.driver.memory", os.environ.get("RUSTAC_DRIVER_MEM", "8g"))
+        # 16g, NOT bigger: a 48g heap measured 2-10x slower on this VM
+        # (first-touch page faults + G1 young-gen sizing stall multi-sec)
+        .config("spark.driver.memory", os.environ.get("RUSTAC_DRIVER_MEM", "16g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # local mode: all executor threads share one JVM — heap and GC
+        # must be sized for the thread count, and shuffle/spill goes to
+        # tmpfs (measured: 8g heap + disk shuffle inverts scaling,
+        # local[32] slower than local[8] from GC + I/O contention)
+        .config("spark.local.dir", os.environ.get("RUSTAC_LOCAL_DIR",
+                                                  "/dev/shm/spark-local"))
+        .config("spark.driver.extraJavaOptions",
+                "-XX:+UseG1GC -XX:ParallelGCThreads=8")
     )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
     spark = b.getOrCreate()
     # self-ship the package so executor Python workers can unpickle
     # pandas-UDF closures regardless of the driver's cwd (the

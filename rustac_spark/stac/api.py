@@ -1,0 +1,92 @@
+"""STAC API result-set semantics: pagination tokens, item lookup,
+collections() — the backend surface of the reference server
+(crates/server/src/backend/memory.rs, crates/duckdb/src/client.rs).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from .search import Search, build_plan
+
+DEFAULT_LIMIT = 10  # crates/server/src/lib.rs:57
+
+
+@dataclass
+class Page:
+    """ItemCollection-shaped page: rows + counts + skip tokens
+    (number_matched/number_returned per api/item_collection.rs:51-63;
+    next/prev skip tokens per backend/memory.rs:58-87)."""
+    rows: list
+    number_matched: int
+    number_returned: int
+    next_token: dict | None = None
+    prev_token: dict | None = None
+
+
+def search_page(df: DataFrame, search: Search,
+                skip: int = 0) -> Page:
+    """Paged search with the memory backend's skip/take token scheme.
+    Deterministic pagination requires a total order: when the search
+    has no sortby, a tie-break sort on id is injected (SURVEY §2.6)."""
+    limit = search.limit if search.limit is not None else DEFAULT_LIMIT
+    base = Search(**{**search.__dict__, "limit": None, "offset": None})
+    if not base.sortby:
+        base.sortby = "id"
+    plan = build_plan(df, base)
+    matched = plan.count()
+    rows = plan.offset(skip).limit(limit).collect()
+    nxt = {"skip": skip + limit} if skip + limit < matched else None
+    prv = {"skip": max(0, skip - limit)} if skip > 0 else None
+    return Page(rows=rows, number_matched=matched,
+                number_returned=len(rows), next_token=nxt, prev_token=prv)
+
+
+def get_item(df: DataFrame, collection_id: str, item_id: str):
+    """Item lookup by (collection, id) — the default trait impl
+    `search with both filters, take 1` (core/src/api/client.rs:33-55)."""
+    rows = build_plan(df, Search(
+        ids=[item_id], collections=[collection_id], limit=1)).collect()
+    return rows[0] if rows else None
+
+
+def collections(df: DataFrame) -> list[dict]:
+    """Derive Collection metadata (id + spatial/temporal extent) from
+    the item table — reimplements Client::collections
+    (crates/duckdb/src/client.rs:123-181): DISTINCT collection, bbox
+    union via min/max over the bbox struct, temporal extent via
+    min/max of the coalesced datetimes. The DESCRIBE column probe
+    becomes a df.columns check."""
+    cols = df.columns
+    has_bbox = "bbox" in cols
+    has_start = "start_datetime" in cols
+    has_end = "end_datetime" in cols
+    aggs = []
+    if has_bbox:
+        aggs += [F.min("bbox.xmin").alias("xmin"),
+                 F.min("bbox.ymin").alias("ymin"),
+                 F.max("bbox.xmax").alias("xmax"),
+                 F.max("bbox.ymax").alias("ymax")]
+    start = (F.coalesce("start_datetime", "datetime") if has_start
+             else F.col("datetime"))
+    end = (F.coalesce("end_datetime", "datetime") if has_end
+           else F.col("datetime"))
+    aggs += [F.min(start).alias("t0"), F.max(end).alias("t1")]
+    out = []
+    for r in df.groupBy("collection").agg(*aggs).collect():
+        c = {
+            "type": "Collection",
+            "id": r["collection"],
+            "extent": {
+                "spatial": {"bbox": [[r["xmin"], r["ymin"],
+                                      r["xmax"], r["ymax"]]]
+                            if has_bbox else []},
+                "temporal": {"interval": [[
+                    r["t0"].isoformat() + "Z" if r["t0"] else None,
+                    r["t1"].isoformat() + "Z" if r["t1"] else None]]},
+            },
+        }
+        out.append(c)
+    return sorted(out, key=lambda c: c["id"])

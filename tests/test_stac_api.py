@@ -1,0 +1,62 @@
+"""Pagination / lookup / collections() / IO helpers."""
+
+import pytest
+
+from rustac_spark.stac.api import collections, get_item, search_page
+from rustac_spark.stac.io import (
+    Format, absolutize, format_from_str, infer_from_href, relativize,
+)
+from rustac_spark.stac.search import Search
+
+
+def test_search_page_tokens(stac_items):
+    p1 = search_page(stac_items, Search(limit=10))
+    assert p1.number_matched == 100 and p1.number_returned == 10
+    assert p1.rows[0]["id"] == "item-0000"  # injected id tie-break sort
+    assert p1.next_token == {"skip": 10} and p1.prev_token is None
+
+    p2 = search_page(stac_items, Search(limit=10), skip=10)
+    assert p2.rows[0]["id"] == "item-0010"
+    assert p2.prev_token == {"skip": 0}
+
+    last = search_page(stac_items, Search(limit=10), skip=90)
+    assert last.next_token is None and last.number_returned == 10
+
+
+def test_get_item(stac_items):
+    r = get_item(stac_items, "collection-a", "item-0042")
+    assert r is not None and r["id"] == "item-0042"
+    assert get_item(stac_items, "nope", "item-0042") is None
+
+
+def test_collections(stac_items):
+    cs = collections(stac_items)
+    assert len(cs) == 1 and cs[0]["id"] == "collection-a"
+    bbox = cs[0]["extent"]["spatial"]["bbox"][0]
+    assert bbox[0] <= -106.0 and bbox[2] >= -105.0
+    t0, t1 = cs[0]["extent"]["temporal"]["interval"][0]
+    assert t0.startswith("2024-03-26") and t1.startswith("2024-12-03")
+
+
+def test_format_inference():
+    assert infer_from_href("s3://b/items.parquet").kind == "geoparquet"
+    assert infer_from_href("items.ndjson").kind == "ndjson"
+    assert infer_from_href("item.json").kind == "json"
+    assert infer_from_href("noext").kind == "json"
+    f = format_from_str("geoparquet[zstd(15)]")
+    assert f.kind == "geoparquet" and f.compression == "zstd(15)"
+    assert str(f) == "geoparquet[zstd(15)]"
+    assert format_from_str("json-pretty").pretty
+    with pytest.raises(ValueError):
+        format_from_str("xml")
+
+
+def test_hrefs():
+    assert absolutize("./b.json", "s3://bucket/cat/a.json") \
+        == "s3://bucket/cat/b.json"
+    assert absolutize("../up.json", "/data/cat/a.json") == "/data/up.json"
+    assert absolutize("s3://x/y.json", "/data/a.json") == "s3://x/y.json"
+    assert relativize("s3://b/cat/items/i.json", "s3://b/cat/c.json") \
+        == "./items/i.json"
+    assert relativize("s3://other/i.json", "s3://b/cat/c.json") \
+        == "s3://other/i.json"
