@@ -59,12 +59,23 @@ def _rect_overlap():
             & (F.col("ymin") <= F.col("qymax")) & (F.col("ymax") >= F.col("qymin")))
 
 
-def _reference_point_dedup(res: int):
+def _reference_point_dedup(res: int, hot: set[int] | None = None):
     """Keep a candidate pair only in the cell owning the intersection's
-    min corner — exactly-once emission without a distinct shuffle."""
+    min corner — exactly-once emission without a distinct shuffle.
+
+    With hot-cell subdivision: the reference point lies in exactly one
+    coarse cell; if that cell is hot, it lies in exactly one of its
+    children — so 'the cell owning the ref point' stays unique at
+    mixed resolutions and exactly-once is preserved.
+    """
     rx = F.greatest(F.col("xmin"), F.col("qxmin"))
     ry = F.greatest(F.col("ymin"), F.col("qymin"))
-    return F.col("cell") == cell_of_point(rx, ry, res)
+    ref = cell_of_point(rx, ry, res)
+    if hot:
+        hot_arr = F.array(*[F.lit(c) for c in sorted(hot)])
+        ref = F.when(F.array_contains(hot_arr, ref),
+                     cell_of_point(rx, ry, res + 1)).otherwise(ref)
+    return F.col("cell") == ref
 
 
 def _mixed_refine(joined: DataFrame) -> DataFrame:
@@ -102,7 +113,8 @@ def _mixed_refine(joined: DataFrame) -> DataFrame:
 def spatial_join(pages: DataFrame, queries: DataFrame,
                  res: int = DEFAULT_RES,
                  broadcast_queries: bool = True,
-                 page_cols: list[str] | None = None) -> DataFrame:
+                 page_cols: list[str] | None = None,
+                 subdivide_threshold: int | None = None) -> DataFrame:
     """pages ⋈_ST_Intersects queries → (query_id, kind, *page_cols).
 
     pages must carry footprint bbox columns xmin/ymin/xmax/ymax
@@ -123,12 +135,29 @@ def spatial_join(pages: DataFrame, queries: DataFrame,
     p = explode_page_cells(pages.select(*dict.fromkeys(
         page_cols + ["xmin", "ymin", "xmax", "ymax"])), res)
     q = explode_query_cells(queries.select(*qcols), res)
+
+    hot: set[int] | None = None
+    if subdivide_threshold is not None:
+        # adaptive subdivision (pipeline/skew.py): hot cells re-cover
+        # at res+1 on BOTH sides so the equi-join keys stay aligned
+        from ..pipeline.skew import hot_cells, subdivide_cover
+        hot = {r["cell"] for r in
+               hot_cells(p, subdivide_threshold).collect()}
+        if hot:
+            p = subdivide_cover(p, hot, res)
+            q = subdivide_cover(q.withColumnsRenamed(
+                    {"qxmin": "xmin", "qymin": "ymin",
+                     "qxmax": "xmax", "qymax": "ymax"}), hot, res) \
+                .withColumnsRenamed(
+                    {"xmin": "qxmin", "ymin": "qymin",
+                     "xmax": "qxmax", "ymax": "qymax"})
+
     if broadcast_queries:
         q = F.broadcast(q)
 
     joined = (p.join(q, "cell")
               .where(_rect_overlap())
-              .where(_reference_point_dedup(res)))
+              .where(_reference_point_dedup(res, hot)))
     if has_polygons:
         joined = _mixed_refine(joined)
     out_cols = ["query_id", "kind"] + page_cols

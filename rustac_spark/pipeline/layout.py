@@ -1,0 +1,57 @@
+"""Storage layout: cell-clustered parquet writes.
+
+The reference's only index structure is the GeoParquet bbox `covering`
+metadata + parquet column stats (crates/core/src/geoparquet.rs:397-435
+— SURVEY.md §4 'bbox covering / min-max skipping'). The Spark analog:
+write the prepared table range-partitioned AND sorted by cell, so each
+file's min/max stats on (cell, xmin..ymax) are tight and both Spark's
+row-group pruning and our cell equi-join scan only the relevant
+slices. At 10^12 rows this is the difference between touching ~all
+files and touching the few covering the query region.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..geo.cells import DEFAULT_RES, cell_of_point
+
+
+def with_anchor_cell(df: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
+    return df.withColumn(
+        "cell", cell_of_point(F.col("lon"), F.col("lat"), res))
+
+
+def write_clustered(prepared: DataFrame, path: str,
+                    res: int = DEFAULT_RES,
+                    num_files: int | None = None) -> None:
+    """Range-partition by cell + sort within partitions → spatially
+    clustered files with tight min/max stats."""
+    df = with_anchor_cell(prepared, res)
+    n = num_files or max(8, df.sparkSession.sparkContext.defaultParallelism)
+    (df.repartitionByRange(n, "cell")
+       .sortWithinPartitions("cell")
+       .write.mode("overwrite").parquet(path))
+
+
+def file_cell_ranges(path: str) -> list[tuple[str, int, int]]:
+    """(file, min_cell, max_cell) from parquet footers — the observable
+    evidence that clustering produced prunable stats."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for fn in sorted(os.listdir(path)):
+        if not fn.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, fn)).metadata
+        idx = {md.schema.column(i).name: i
+               for i in range(len(md.schema))}["cell"]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        out.append((fn, min(mins), max(maxs)))
+    return out

