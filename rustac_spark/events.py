@@ -1,0 +1,36 @@
+"""Event-stream batch operators: sessionization + windowed rollups
+(training-data pipeline adjuncts; exercised on the driver `events`
+table with exact DuckDB oracles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30,
+               user_col: str = "user_id", ts_col: str = "ts") -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap to
+    the previous event of the same user exceeds `gap_minutes`.
+
+    Classic two-window formulation (lag → boundary flag → running sum)
+    — all JVM-side; the only shuffle is the per-user repartition the
+    window requires, shared by both window functions.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
+    # TIMESTAMP_NTZ has no direct long cast; session TZ is pinned UTC
+    # so ltz epoch seconds are well-defined
+    secs = F.col(ts_col).cast("timestamp_ltz").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    df = events.withColumn("_new", is_new)
+    df = df.withColumn("session_id", F.sum("_new").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (df.groupBy(user_col, "session_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.date_format(F.min(ts_col),
+                               "yyyy-MM-dd HH:mm:ss").alias("t_start"),
+                 F.date_format(F.max(ts_col),
+                               "yyyy-MM-dd HH:mm:ss").alias("t_end"),
+                 F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+                 .alias("sum_value")))

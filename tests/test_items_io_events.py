@@ -1,0 +1,76 @@
+"""Item roundtrip / streaming FeatureCollection sink / sessionize /
+exact n-gram jaccard."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from rustac_spark.events import sessionize
+from rustac_spark.stac.items_io import (
+    iter_items, row_to_item, write_feature_collection,
+)
+from rustac_spark.stac.validate import validate_value
+from rustac_spark.textops.ngram import jaccard_pairs
+
+
+def test_row_to_item_roundtrip_shape(stac_items):
+    row = stac_items.orderBy("id").limit(1).collect()[0]
+    item = row_to_item(row)
+    assert item["type"] == "Feature" and item["id"] == "item-0000"
+    assert isinstance(item["bbox"], list) and len(item["bbox"]) == 4
+    assert item["geometry"]["type"] == "Polygon"
+    assert "datetime" in item["properties"]
+    assert "sat:relative_orbit" in item["properties"]
+    # produced items pass our validator
+    assert validate_value(item) == []
+
+
+def test_write_feature_collection(stac_items, tmp_path):
+    path = str(tmp_path / "fc.json")
+    n = write_feature_collection(
+        stac_items.orderBy("id").limit(7), path, matched=100)
+    assert n == 7
+    fc = json.load(open(path))
+    assert fc["type"] == "FeatureCollection"
+    assert fc["numberReturned"] == 7 and fc["numberMatched"] == 100
+    assert len(fc["features"]) == 7
+    assert fc["features"][0]["id"] == "item-0000"
+
+
+def test_iter_items_streaming(stac_items):
+    it = iter_items(stac_items.orderBy("id").limit(3))
+    ids = [i["id"] for i in it]
+    assert ids == ["item-0000", "item-0001", "item-0002"]
+
+
+def test_sessionize_semantics(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0), (1, "2024-01-01 00:10:00", 2.0),
+        (1, "2024-01-01 01:00:00", 3.0),   # 50 min gap → new session
+        (2, "2024-01-01 00:00:00", 4.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"]) \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = {(r["user_id"], r["session_id"]): r["n_events"]
+           for r in sessionize(df).collect()}
+    assert out == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_ngram_jaccard_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, "abcdefgh"), (3, "abcdefxx"), (4, "zzzzzz")],
+        ["doc_id", "text"])
+    out = {(r["a"], r["b"]): r["jaccard"]
+           for r in jaccard_pairs(df, threshold=0.3).collect()}
+    assert out[(1, 2)] == 1.0
+    # docs 1 & 3 share shingles abc bcd cde def of 6+6 distinct → 4/8
+    assert abs(out[(1, 3)] - 0.5) < 1e-9
+    assert (1, 4) not in out
+
+
+def test_ngram_jaccard_max_df_prunes(spark):
+    df = spark.createDataFrame(
+        [(i, "common" + str(i)) for i in range(10)], ["doc_id", "text"])
+    # 'common' shingles appear in all 10 docs; cap at df<=5 kills them
+    out = jaccard_pairs(df, threshold=0.1, max_df=5).count()
+    assert out == 0
