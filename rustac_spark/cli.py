@@ -86,8 +86,6 @@ def cmd_translate(args) -> int:
 
 
 def cmd_validate(args) -> int:
-    from pyspark.sql import functions as F
-
     from .stac.items_io import iter_items
     from .stac.validate import validate_value
     spark = _spark(args)

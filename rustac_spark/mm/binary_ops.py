@@ -73,3 +73,62 @@ def extract_image_features(df: DataFrame, bin_col: str = "payload",
                 "url", "width", "height", "channels", "features"])
 
     return df.select(url_col, bin_col).mapInPandas(gen, schema=DECODE_SCHEMA)
+
+
+def resize_image_stub(data: bytes, width: int, height: int) -> bytes:
+    """STUB — deterministic fake resize (real impl: PIL thumbnail).
+    Returns a synthetic payload carrying the target dims so the
+    pipeline shape (binary→binary, metadata columns updated) is real."""
+    for magic, mime in MAGIC.items():
+        if data.startswith(magic) and mime.startswith("image/"):
+            return magic + width.to_bytes(2, "big") + \
+                height.to_bytes(2, "big") + data[:64]
+    raise NotImplementedError("not an image payload")
+
+
+def sample_frames_stub(data: bytes, every_n: int = 30,
+                       max_frames: int = 8) -> list[bytes]:
+    """STUB — deterministic fake video frame sampling (real impl:
+    ffmpeg/pyav). Emits ≤max_frames chunks keyed off payload bytes."""
+    n = min(max_frames, max(1, len(data) // max(1, every_n)))
+    return [bytes([data[i % len(data)]]) * 4 for i in range(n)]
+
+
+def resize_images(df: DataFrame, width: int = 256, height: int = 256,
+                  bin_col: str = "payload", url_col: str = "url",
+                  ) -> DataFrame:
+    """Batch resize plumbing: binary→binary with typed size metadata."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, data in zip(pdf[url_col], pdf[bin_col]):
+                try:
+                    out = resize_image_stub(bytes(data), width, height)
+                    rows.append((url, out, width, height))
+                except NotImplementedError:
+                    rows.append((url, None, None, None))
+            yield pd.DataFrame(rows, columns=[
+                "url", "resized", "width", "height"])
+
+    return df.select(url_col, bin_col).mapInPandas(
+        gen, schema="url string, resized binary, width int, height int")
+
+
+def sample_video_frames(df: DataFrame, bin_col: str = "payload",
+                        url_col: str = "url", every_n: int = 30,
+                        ) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled frame
+    (binary video column → exploded frame binaries + frame index)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, data in zip(pdf[url_col], pdf[bin_col]):
+                for i, frame in enumerate(
+                        sample_frames_stub(bytes(data), every_n)):
+                    rows.append((url, i, frame))
+            yield pd.DataFrame(rows, columns=["url", "frame_idx", "frame"])
+
+    return df.select(url_col, bin_col).mapInPandas(
+        gen, schema="url string, frame_idx int, frame binary")

@@ -5,7 +5,7 @@ collections() — the backend surface of the reference server
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 

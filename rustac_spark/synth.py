@@ -30,7 +30,6 @@ import numpy as np
 import pandas as pd
 
 from .hashing import stable_hash, stable_hash_batch
-from .geocode import geocode_pandas
 from .geo.wkbio import bbox_polygon_wkb, point_wkb, polygon_wkb
 
 EPOCH_2024 = 1704067200  # 2024-01-01T00:00:00Z
