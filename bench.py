@@ -35,11 +35,12 @@ from pyspark.sql import functions as F
 from rustac_spark import DATA_DIR
 from rustac_spark.session import get_spark
 
-SF_ROWS = {"sf0.001": 10_000, "sf0.01": 100_000, "sf0.1": 1_000_000}
+SF_ROWS = {"sf0.001": 10_000, "sf0.01": 100_000, "sf0.1": 1_000_000,
+           "sf0.4": 4_000_000}
 
 
 def sf_of(sf_dir: str) -> str:
-    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+    for sf in ("sf0.001", "sf0.01", "sf0.4", "sf0.1"):
         if sf_dir.rstrip("/").endswith(sf):
             return sf
     return "sf0.1"

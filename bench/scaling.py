@@ -78,6 +78,12 @@ the 32-core host — the sandbox stand-in for N vs 4N executors.
 Per-stage seconds at local[{n_high}] (4N): {json.dumps(best[n_high]['queries'])}
 Per-stage seconds at local[{n_low}] (N): {json.dumps(best[n_low]['queries'])}
 
+Input sizing: strong-scaling needs enough per-core work that the
+pipeline's fixed costs (stage materialization, commit markers, driver
+coordination — ~0.3-0.7 s/stage) don't dominate the high-parallelism
+leg; at 1M rows the 4N leg is ~40% fixed cost (measured eff 0.60),
+so the evidence runs the same deterministic generator at 4M rows.
+
 Why N={n_low}: this sandbox VM exhibits erratic multi-second scheduler
 stalls at >16 Spark threads (measured: pure-CPU multiprocessing scales
 to 32 procs at 0.85+ efficiency, Spark range-sum/scan/write each scale

@@ -114,6 +114,23 @@ def test_text_stats_columns(spark):
     assert all(0.0 <= out[i]["quality"] <= 1.0 for i in out)
 
 
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    import numpy as np
+    from rustac_spark.ml.ann import knn_ivf
+    rng = [(i, [float(x) for x in np.sin(np.arange(16) * (i + 1) * 0.7)])
+           for i in range(200)]
+    vec = spark.createDataFrame(rng, ["vec_id", "embedding"])
+    q = (vec.where(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qvec")))
+    exact = {(r["query_id"], r["vec_id"])
+             for r in knn_bruteforce(vec, q, k=3).collect()}
+    approx = {(r["query_id"], r["vec_id"])
+              for r in knn_ivf(vec, q, k=3, n_centroids=8, n_probe=3,
+                               dim=16).collect()}
+    assert len(approx & exact) / len(exact) >= 0.5
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark):
     import numpy as np
     rng = [(i, [float(x) for x in np.sin(np.arange(16) * (i + 1) * 0.7)])
