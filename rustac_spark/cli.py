@@ -147,7 +147,15 @@ def main(argv=None) -> int:
     c.set_defaults(fn=cmd_collections)
 
     args = p.parse_args(argv)
-    return args.fn(args)
+    from .stac.cql2 import Cql2Error
+    from .stac.datetime_parse import DatetimeParseError
+    from .stac.search import QueryNotImplemented, SearchValidationError
+    try:
+        return args.fn(args)
+    except (SearchValidationError, Cql2Error, DatetimeParseError,
+            QueryNotImplemented, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
 
 
 if __name__ == "__main__":

@@ -34,6 +34,37 @@ def write_clustered(prepared: DataFrame, path: str,
        .write.mode("overwrite").parquet(path))
 
 
+def write_partitioned(prepared: DataFrame, path: str,
+                      part_res: int = 4,
+                      cluster_res: int = DEFAULT_RES) -> None:
+    """Hive-partition by a coarse cell (res=4 ⇒ ≤256 directories) and
+    cluster by the fine cell inside each partition. Spatial predicates
+    on pcell become PartitionFilters — Spark prunes whole directories
+    before listing files (static partition pruning, SURVEY.md §4),
+    the Iceberg-style partition layout for the 10^12-row table."""
+    df = with_anchor_cell(prepared, cluster_res).withColumn(
+        "pcell", cell_of_point(F.col("lon"), F.col("lat"), part_res))
+    (df.repartition("pcell")
+       .sortWithinPartitions("cell")
+       .write.mode("overwrite")
+       .partitionBy("pcell")
+       .parquet(path))
+
+
+def partition_pruned_read(spark, path: str,
+                          qxmin: float, qymin: float,
+                          qxmax: float, qymax: float,
+                          part_res: int = 4) -> DataFrame:
+    """Read only the partitions whose coarse cell intersects the query
+    bbox — the pcell IN (...) predicate is a pure partition filter."""
+    from ..geo.cells import cover_bbox
+    cells_row = (spark.range(1).select(cover_bbox(
+        F.lit(qxmin), F.lit(qymin), F.lit(qxmax), F.lit(qymax),
+        part_res).alias("c")).collect()[0]["c"])
+    df = spark.read.parquet(path)
+    return df.where(F.col("pcell").isin([int(c) for c in cells_row]))
+
+
 def file_cell_ranges(path: str) -> list[tuple[str, int, int]]:
     """(file, min_cell, max_cell) from parquet footers — the observable
     evidence that clustering produced prunable stats."""
