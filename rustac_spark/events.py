@@ -32,5 +32,9 @@ def sessionize(events: DataFrame, gap_minutes: int = 30,
                                "yyyy-MM-dd HH:mm:ss").alias("t_start"),
                  F.date_format(F.max(ts_col),
                                "yyyy-MM-dd HH:mm:ss").alias("t_end"),
-                 F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
-                 .alias("sum_value")))
+                 # exact decimal sum, emitted as a fixed-scale string so the
+                 # output representation is engine-independent (Spark widens
+                 # decimal sums to (28,6), DuckDB to (38,6); hashing the
+                 # decimal repr differs — the string "x.xxxxxx" does not)
+                 F.sum(F.col("value").cast("decimal(18,6)"))
+                 .cast("decimal(18,6)").cast("string").alias("sum_value")))
