@@ -34,8 +34,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from .cells import DEFAULT_RES, cell_of_point, cover_bbox
-from .predicates import rects_intersect_polygon
-from .wkbio import parse_wkb
+from .predicates import rects_intersect_pieces
+from .wkbio import geometry_pieces, parse_wkb
 
 QUERY_COLS = ["query_id", "kind", "qxmin", "qymin", "qxmax", "qymax",
               "geometry"]
@@ -87,7 +87,7 @@ def _mixed_refine(joined: DataFrame) -> DataFrame:
     schema = joined.schema
 
     def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rings: dict[int, np.ndarray] = {}
+        pieces: dict[int, list] = {}
         for pdf in batches:
             if len(pdf) == 0:
                 yield pdf
@@ -96,15 +96,15 @@ def _mixed_refine(joined: DataFrame) -> DataFrame:
             for qid in pdf.loc[~keep, "query_id"].unique():
                 m = ((pdf["query_id"] == qid)
                      & (pdf["kind"] == "polygon")).to_numpy()
-                if qid not in rings:
-                    rings[qid] = parse_wkb(
-                        bytes(pdf.loc[m, "geometry"].iloc[0]))[1]
-                keep[m] = rects_intersect_polygon(
+                if qid not in pieces:
+                    pieces[qid] = geometry_pieces(parse_wkb(
+                        bytes(pdf.loc[m, "geometry"].iloc[0])))
+                keep[m] = rects_intersect_pieces(
                     pdf.loc[m, "xmin"].to_numpy(),
                     pdf.loc[m, "ymin"].to_numpy(),
                     pdf.loc[m, "xmax"].to_numpy(),
                     pdf.loc[m, "ymax"].to_numpy(),
-                    rings[qid])
+                    pieces[qid])
             yield pdf[keep]
 
     return joined.mapInPandas(refine, schema=schema)

@@ -109,6 +109,90 @@ def rects_intersect_polygon(rx0: np.ndarray, ry0: np.ndarray,
     return out
 
 
+def _rect_strictly_inside_ring(rx0, ry0, rx1, ry1, ring) -> np.ndarray:
+    """True where the rect lies within `ring` without touching it —
+    all four corners inside AND no ring edge intersecting the rect.
+    (A corner exactly on the ring boundary means the rect touches the
+    ring, which the edge test catches — inclusive PIP is safe here.)"""
+    ring = np.asarray(ring, dtype=np.float64)
+    if len(ring) > 1 and np.array_equal(ring[0], ring[-1]):
+        ring = ring[:-1]
+    inside = points_in_polygon(rx0, ry0, ring)
+    for cx, cy in ((rx1, ry0), (rx1, ry1), (rx0, ry1)):
+        rem = inside
+        if rem.any():
+            inside = inside.copy()
+            inside[rem] &= points_in_polygon(cx[rem], cy[rem], ring)
+    n = len(ring)
+    for i in range(n):
+        if not inside.any():
+            break
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        rem = inside
+        inside = inside.copy()
+        inside[rem] &= ~_segments_intersect_rects(
+            x1, y1, x2, y2, rx0[rem], ry0[rem], rx1[rem], ry1[rem])
+    return inside
+
+
+def rects_intersect_polygon_holes(rx0, ry0, rx1, ry1, rings) -> np.ndarray:
+    """Exact rect × polygon-with-holes intersects. rings[0] is the
+    exterior, the rest interior rings: the rect intersects iff it
+    intersects the exterior and is not strictly contained in a hole
+    (ring boundaries belong to the polygon — ST_Intersects semantics,
+    matching the reference's hole-aware geometries decoded in
+    crates/core/src/geoarrow/json.rs:471-480)."""
+    rx0 = np.asarray(rx0, dtype=np.float64)
+    ry0 = np.asarray(ry0, dtype=np.float64)
+    rx1 = np.asarray(rx1, dtype=np.float64)
+    ry1 = np.asarray(ry1, dtype=np.float64)
+    out = rects_intersect_polygon(rx0, ry0, rx1, ry1, rings[0])
+    for hole in rings[1:]:
+        rem = out
+        if not rem.any():
+            break
+        out = out.copy()
+        out[rem] &= ~_rect_strictly_inside_ring(
+            rx0[rem], ry0[rem], rx1[rem], ry1[rem], hole)
+    return out
+
+
+def rects_intersect_pieces(rx0, ry0, rx1, ry1, pieces) -> np.ndarray:
+    """Exact rect × arbitrary-geometry intersects, vectorized over N
+    rects. `pieces` is the output of wkbio.geometry_pieces: a list of
+    ("point",(x,y)) | ("line", ndarray[n,2]) | ("poly", [rings]).
+    True where the rect intersects ANY piece — the union semantics of
+    Multi*/GeometryCollection (search.rs:236-251)."""
+    rx0 = np.asarray(rx0, dtype=np.float64)
+    ry0 = np.asarray(ry0, dtype=np.float64)
+    rx1 = np.asarray(rx1, dtype=np.float64)
+    ry1 = np.asarray(ry1, dtype=np.float64)
+    out = np.zeros(rx0.shape, dtype=bool)
+    for kind, data in pieces:
+        if kind == "point":
+            x, y = data
+            out |= (rx0 <= x) & (x <= rx1) & (ry0 <= y) & (y <= ry1)
+        elif kind == "line":
+            pts = np.asarray(data, dtype=np.float64)
+            if len(pts) == 1:
+                x, y = pts[0]
+                out |= (rx0 <= x) & (x <= rx1) & (ry0 <= y) & (y <= ry1)
+            for i in range(len(pts) - 1):
+                rem = ~out
+                if not rem.any():
+                    break
+                out[rem] |= _segments_intersect_rects(
+                    pts[i, 0], pts[i, 1], pts[i + 1, 0], pts[i + 1, 1],
+                    rx0[rem], ry0[rem], rx1[rem], ry1[rem])
+        else:  # poly
+            rem = ~out
+            if rem.any():
+                out[rem] |= rects_intersect_polygon_holes(
+                    rx0[rem], ry0[rem], rx1[rem], ry1[rem], data)
+    return out
+
+
 def is_axis_aligned_rect_ring(ring: np.ndarray) -> bool:
     """Detect a 5-point closed axis-aligned rectangle ring (the shape
     Bbox::to_geometry produces, bbox.rs:164-187) — lets the planner

@@ -9,7 +9,15 @@ crates/duckdb/src/client.rs:386-394):
   (crates/core/src/api/filter.rs:11-70).
 - Operators: = <> < <= > >= ; and/or/not ; IS [NOT] NULL ;
   [NOT] IN ; [NOT] LIKE ; BETWEEN ; casei() → lower() ;
-  t_before/t_after/t_intersects on timestamps.
+  t_before/t_after (strict < / > on instants) / t_intersects ;
+  s_intersects(geometry, <WKT | BBOX(...) | GeoJSON dict>) — the
+  reference compiles spatial CQL2 ops to DuckDB ST_Intersects
+  (crates/duckdb/src/client.rs:386-394); here they compile to the
+  engine's bbox-overlap Column (point / axis-aligned-rect literals,
+  valid anywhere in the boolean tree) or, for general geometries, a
+  bbox prefilter Column + exact Arrow-batched refine. General-geometry
+  s_intersects must sit in a conjunctive (top-level AND) position —
+  refines are conjunctive; under OR/NOT the compiler raises.
 - Plan-time empty-result short-circuit: if any referenced property is
   not a column, the whole query returns empty
   (expr_properties_match, crates/duckdb/src/client.rs:433-455).
@@ -27,6 +35,11 @@ from typing import Any
 
 from pyspark.sql import functions as F
 
+from ..geo.predicates import is_axis_aligned_rect_ring, rects_intersect_pieces
+from ..geo.wkbio import (bbox_polygon_wkb, geojson_to_wkb, geometry_pieces,
+                         linestring_wkb, multilinestring_wkb, multipoint_wkb,
+                         multipolygon_wkb, parse_wkb, point_wkb, polygon_wkb,
+                         wkb_bounds)
 from .datetime_parse import parse_rfc3339
 
 
@@ -52,6 +65,13 @@ class Op:
     args: list
 
 
+@dataclass
+class Geom:
+    """A spatial literal (WKT in cql2-text, GeoJSON in cql2-json),
+    normalized to WKB — the engine's wire format for geometry."""
+    wkb: bytes
+
+
 # ------------------------------------------------------------- tokenizer
 
 _TOKEN = re.compile(r"""
@@ -65,6 +85,13 @@ _TOKEN = re.compile(r"""
 
 _KEYWORDS = {"and", "or", "not", "is", "null", "in", "like", "between",
              "true", "false", "timestamp", "date", "casei"}
+
+# WKT geometry literal heads (+ the cql2 BBOX() literal)
+_WKT_TYPES = {"point", "linestring", "polygon", "multipoint",
+              "multilinestring", "multipolygon", "bbox"}
+
+# boolean function-call operators in cql2-text
+_FN_OPS = {"s_intersects", "t_before", "t_after", "t_intersects"}
 
 
 def _tokenize(text: str) -> list[tuple[str, str]]:
@@ -207,10 +234,116 @@ class _Parser:
             return Op("casei", [e])
         if k == "ident":
             name = v[1:-1] if v.startswith('"') else v
+            low = name.lower()
             if self.peek() == ("punct", "("):
+                if low in _WKT_TYPES:
+                    return self._wkt(low)
+                if low in _FN_OPS:
+                    self.next()  # consume "("
+                    args = [self.or_expr()]
+                    while self.peek() == ("punct", ","):
+                        self.next()
+                        args.append(self.or_expr())
+                    self.expect("punct", ")")
+                    return Op(low, args)
                 raise Cql2Error(f"cql2-text: unsupported function {name!r}")
             return Prop(name)
         raise Cql2Error(f"cql2-text: unexpected token {v!r}")
+
+    # ---- WKT geometry literals (OGC cql2-text §geometry) -----------
+
+    def _num(self) -> float:
+        k, v = self.next()
+        if k != "number":
+            raise Cql2Error(f"cql2-text: expected number in WKT, got {v!r}")
+        return float(v)
+
+    def _coord(self):
+        return (self._num(), self._num())
+
+    def _coord_list(self):
+        """x y, x y, ... (inside one paren level)."""
+        pts = [self._coord()]
+        while self.peek() == ("punct", ","):
+            self.next()
+            pts.append(self._coord())
+        return pts
+
+    def _ring_list(self):
+        """(x y, ...), (x y, ...), ..."""
+        rings = []
+        while True:
+            self.expect("punct", "(")
+            rings.append(self._coord_list())
+            self.expect("punct", ")")
+            if self.peek() == ("punct", ","):
+                self.next()
+                continue
+            return rings
+
+    def _wkt(self, kind: str) -> Geom:
+        self.expect("punct", "(")
+        if kind == "bbox":
+            vals = [self._num()]
+            while self.peek() == ("punct", ","):
+                self.next()
+                vals.append(self._num())
+            self.expect("punct", ")")
+            if len(vals) == 6:  # 3D bbox literal — z dropped for 2D test
+                vals = [vals[0], vals[1], vals[3], vals[4]]
+            if len(vals) != 4:
+                raise Cql2Error(f"cql2-text: BBOX needs 4 or 6 values: {vals}")
+            return Geom(bbox_polygon_wkb(*vals))
+        if kind == "point":
+            pt = self._coord()
+            self.expect("punct", ")")
+            return Geom(point_wkb(*pt))
+        if kind == "linestring":
+            pts = self._coord_list()
+            self.expect("punct", ")")
+            return Geom(linestring_wkb(pts))
+        if kind == "polygon":
+            rings = self._ring_list()
+            self.expect("punct", ")")
+            return Geom(polygon_wkb(*rings))
+        if kind == "multipoint":
+            # MULTIPOINT (1 2, 3 4) or MULTIPOINT ((1 2), (3 4))
+            pts = []
+            while True:
+                if self.peek() == ("punct", "("):
+                    self.next()
+                    pts.append(self._coord())
+                    self.expect("punct", ")")
+                else:
+                    pts.append(self._coord())
+                if self.peek() == ("punct", ","):
+                    self.next()
+                    continue
+                break
+            self.expect("punct", ")")
+            return Geom(multipoint_wkb(pts))
+        if kind == "multilinestring":
+            lines = self._ring_list()
+            self.expect("punct", ")")
+            return Geom(multilinestring_wkb(lines))
+        if kind == "multipolygon":
+            polys = []
+            while True:
+                polys.append(self._ring_list_outer())
+                if self.peek() == ("punct", ","):
+                    self.next()
+                    continue
+                break
+            self.expect("punct", ")")
+            return Geom(multipolygon_wkb(polys))
+        raise Cql2Error(f"cql2-text: unsupported WKT type {kind!r}")
+
+    def _ring_list_outer(self):
+        """( (x y, ...), (x y, ...) ) — consumes the outer parens."""
+        self.expect("punct", "(")
+        rings = self._ring_list()
+        self.expect("punct", ")")
+        return rings
 
 
 def parse_text(text: str):
@@ -221,7 +354,10 @@ def parse_text(text: str):
 
 _JSON_OPS = {"=", "<>", "<", "<=", ">", ">=", "and", "or", "not",
              "isNull", "in", "like", "between", "casei",
-             "t_before", "t_after", "t_intersects"}
+             "t_before", "t_after", "t_intersects", "s_intersects"}
+
+_GEOJSON_TYPES = {"Point", "LineString", "Polygon", "MultiPoint",
+                  "MultiLineString", "MultiPolygon", "GeometryCollection"}
 
 
 def parse_json(obj) -> Any:
@@ -229,6 +365,13 @@ def parse_json(obj) -> Any:
     if isinstance(obj, dict):
         if "property" in obj:
             return Prop(obj["property"])
+        if obj.get("type") in _GEOJSON_TYPES:
+            return Geom(geojson_to_wkb(obj))
+        if "bbox" in obj and len(obj) == 1:  # cql2-json bbox literal
+            b = list(obj["bbox"])
+            if len(b) == 6:
+                b = [b[0], b[1], b[3], b[4]]
+            return Geom(bbox_polygon_wkb(*b))
         if "timestamp" in obj:
             return Lit(parse_rfc3339(obj["timestamp"]))
         if "date" in obj:
@@ -280,6 +423,42 @@ def _col(name: str):
     return F.col(f"`{name}`") if ("." in name or ":" in name) else F.col(name)
 
 
+def _bbox_overlap_col(xmin, ymin, xmax, ymax):
+    """Inclusive rect-overlap vs the engine's bbox struct columns
+    (the covering index every item table carries)."""
+    return ((F.col("bbox.xmin") <= F.lit(xmax))
+            & (F.col("bbox.xmax") >= F.lit(xmin))
+            & (F.col("bbox.ymin") <= F.lit(ymax))
+            & (F.col("bbox.ymax") >= F.lit(ymin)))
+
+
+def _s_intersects_column(geom: Geom):
+    """Pure-Column s_intersects for point / axis-aligned-rect literals
+    (valid anywhere in the boolean tree). Returns None when the
+    geometry needs the exact refine kernel."""
+    pieces = geometry_pieces(parse_wkb(geom.wkb))
+    cols = []
+    for kind, data in pieces:
+        if kind == "point":
+            x, y = data
+            cols.append((F.col("bbox.xmin") <= F.lit(x))
+                        & (F.col("bbox.xmax") >= F.lit(x))
+                        & (F.col("bbox.ymin") <= F.lit(y))
+                        & (F.col("bbox.ymax") >= F.lit(y)))
+        elif kind == "poly" and len(data) == 1 \
+                and is_axis_aligned_rect_ring(data[0]):
+            r = data[0]
+            cols.append(_bbox_overlap_col(
+                float(r[:, 0].min()), float(r[:, 1].min()),
+                float(r[:, 0].max()), float(r[:, 1].max())))
+        else:
+            return None
+    out = cols[0]
+    for c in cols[1:]:
+        out = out | c
+    return out
+
+
 def to_column(ast):
     """AST → pyspark Column (pure Column tree — pushdown-friendly)."""
     if isinstance(ast, Prop):
@@ -298,16 +477,28 @@ def to_column(ast):
             return to_column(a[0]) == to_column(a[1])
         if op == "<>":
             return to_column(a[0]) != to_column(a[1])
-        if op == "<":
+        # CQL2 temporal BEFORE/AFTER are STRICT inequalities on instants
+        if op == "<" or op == "t_before":
             return to_column(a[0]) < to_column(a[1])
-        if op == "<=" or op == "t_before":
+        if op == "<=":
             return to_column(a[0]) <= to_column(a[1])
-        if op == ">":
+        if op == ">" or op == "t_after":
             return to_column(a[0]) > to_column(a[1])
-        if op == ">=" or op == "t_after":
+        if op == ">=":
             return to_column(a[0]) >= to_column(a[1])
         if op == "t_intersects":
             return to_column(a[0]) == to_column(a[1])
+        if op == "s_intersects":
+            if not isinstance(a[1], Geom):
+                raise Cql2Error(
+                    "s_intersects needs a geometry literal second arg")
+            col = _s_intersects_column(a[1])
+            if col is None:
+                raise Cql2Error(
+                    "s_intersects with a non-rectangular geometry must be "
+                    "in a top-level AND position (compile_filter handles "
+                    "it there via bbox prefilter + exact refine)")
+            return col
         if op == "isNull":
             return to_column(a[0]).isNull()
         if op == "in":
@@ -371,20 +562,50 @@ def evaluate(ast, item: dict):
         if v is None or lo is None or hi is None:
             return None
         return lo <= v <= hi
+    if op == "s_intersects":
+        import numpy as np
+        geom_val = ev(a[0])
+        if geom_val is None:
+            return None
+        lit = a[1]
+        if isinstance(lit, Geom):
+            lit_wkb = lit.wkb
+        elif isinstance(lit, dict):
+            lit_wkb = geojson_to_wkb(lit)
+        else:
+            lit_wkb = bytes(lit)
+        if isinstance(geom_val, dict):
+            geom_val = geojson_to_wkb(geom_val)
+        # item side evaluated on its bounding box — the same covering
+        # discipline the Column path uses (bbox struct ≙ the item)
+        gx0, gy0, gx1, gy1 = wkb_bounds(bytes(geom_val))
+        pieces = geometry_pieces(parse_wkb(lit_wkb))
+        return bool(rects_intersect_pieces(
+            np.array([gx0]), np.array([gy0]),
+            np.array([gx1]), np.array([gy1]), pieces)[0])
     l, r = ev(a[0]), ev(a[1])
     if l is None or r is None:
         return None
+    # item timestamps are naive-UTC (session TZ pinned UTC); CQL2
+    # TIMESTAMP() literals parse tz-aware — normalize both to naive-UTC
+    import datetime as _dt
+    if isinstance(l, _dt.datetime) and isinstance(r, _dt.datetime):
+        if l.tzinfo is not None:
+            l = l.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        if r.tzinfo is not None:
+            r = r.astimezone(_dt.timezone.utc).replace(tzinfo=None)
     if op == "=" or op == "t_intersects":
         return l == r
     if op == "<>":
         return l != r
-    if op == "<" :
+    # strict temporal BEFORE/AFTER (CQL2 instants)
+    if op == "<" or op == "t_before":
         return l < r
-    if op == "<=" or op == "t_before":
+    if op == "<=":
         return l <= r
-    if op == ">":
+    if op == ">" or op == "t_after":
         return l > r
-    if op == ">=" or op == "t_after":
+    if op == ">=":
         return l >= r
     raise Cql2Error(f"cannot evaluate op {op!r}")
 
@@ -394,15 +615,41 @@ def matches(filt, item: dict) -> bool:
     return evaluate(parse(filt), item) is True
 
 
+def _conjuncts(ast) -> list:
+    """Flatten a top-level AND chain into its conjuncts."""
+    if isinstance(ast, Op) and ast.op == "and":
+        return _conjuncts(ast.args[0]) + _conjuncts(ast.args[1])
+    return [ast]
+
+
 def compile_filter(filt, columns: list[str]):
-    """→ (Column | None, short_circuit: bool).
+    """→ (Column | None, short_circuit: bool, refines: list[pieces]).
 
     short_circuit=True ⇒ a referenced property is not a column of the
     table: the whole query must return empty (plan-time anti-join
     against the schema, client.rs:386-394).
+
+    refines: for each top-level-AND s_intersects conjunct whose
+    geometry is not point/rect, the Column part carries only its bbox
+    prefilter and the caller must apply the exact rect×geometry refine
+    (search._geometry_refine) with the returned pieces.
     """
     ast = parse(filt)
     missing = properties(ast) - set(columns)
     if missing:
-        return None, True
-    return to_column(ast), False
+        return None, True, []
+
+    col = None
+    refines: list[list] = []
+    for conj in _conjuncts(ast):
+        if (isinstance(conj, Op) and conj.op == "s_intersects"
+                and isinstance(conj.args[1], Geom)
+                and _s_intersects_column(conj.args[1]) is None):
+            # general geometry: bbox prefilter now, exact refine later
+            pieces = geometry_pieces(parse_wkb(conj.args[1].wkb))
+            c = _bbox_overlap_col(*wkb_bounds(conj.args[1].wkb))
+            refines.append(pieces)
+        else:
+            c = to_column(conj)
+        col = c if col is None else (col & c)
+    return col, False, refines

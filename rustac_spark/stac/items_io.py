@@ -26,11 +26,38 @@ _KNOWN_DT = {"datetime", "start_datetime", "end_datetime", "created",
 def _geometry_to_geojson(wkb: bytes | None):
     if wkb is None:
         return None
-    kind, data = parse_wkb(bytes(wkb))
+    return _parsed_to_geojson(parse_wkb(bytes(wkb)))
+
+
+def _parsed_to_geojson(parsed):
+    """wkbio parsed form → GeoJSON dict, all 7 geometry types
+    (mirror of the reference's geometry encode,
+    crates/core/src/geoarrow/json.rs:460-499)."""
+    kind, data = parsed
+
+    def pts(arr):
+        return [[float(x), float(y)] for x, y in arr]
+
     if kind == "point":
-        return {"type": "Point", "coordinates": list(data)}
-    return {"type": "Polygon",
-            "coordinates": [[[float(x), float(y)] for x, y in data]]}
+        return {"type": "Point", "coordinates": [float(data[0]),
+                                                 float(data[1])]}
+    if kind == "linestring":
+        return {"type": "LineString", "coordinates": pts(data)}
+    if kind == "polygon":
+        return {"type": "Polygon", "coordinates": [pts(r) for r in data]}
+    if kind == "multipoint":
+        return {"type": "MultiPoint",
+                "coordinates": [[float(x), float(y)] for x, y in data]}
+    if kind == "multilinestring":
+        return {"type": "MultiLineString",
+                "coordinates": [pts(line) for line in data]}
+    if kind == "multipolygon":
+        return {"type": "MultiPolygon",
+                "coordinates": [[pts(r) for r in rings] for rings in data]}
+    if kind == "geometrycollection":
+        return {"type": "GeometryCollection",
+                "geometries": [_parsed_to_geojson(sub) for sub in data]}
+    raise ValueError(f"unknown geometry kind {kind!r}")
 
 
 def row_to_item(row) -> dict:

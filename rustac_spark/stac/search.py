@@ -40,8 +40,9 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from ..geo.predicates import is_axis_aligned_rect_ring, rects_intersect_polygon
-from ..geo.wkbio import parse_wkb, wkb_bounds
+from ..geo.predicates import (is_axis_aligned_rect_ring,
+                              rects_intersect_pieces)
+from ..geo.wkbio import geojson_to_wkb, geometry_pieces, parse_wkb, wkb_bounds
 from . import cql2
 from .datetime_parse import parse_interval
 
@@ -77,6 +78,11 @@ class Search:
             if len(b) not in (4, 6):
                 raise SearchValidationError(f"bbox must have 4 or 6 values: {b}")
             if len(b) == 6:
+                # zmin ≤ zmax validated like the reference
+                # (crates/core/src/bbox.rs:42-50); z is then dropped for
+                # the 2D overlap test
+                if not b[2] <= b[5]:
+                    raise SearchValidationError(f"invalid bbox (zmin > zmax): {b}")
                 b = [b[0], b[1], b[3], b[4]]
             if not (b[0] <= b[2] and b[1] <= b[3]):
                 raise SearchValidationError(f"invalid bbox: {b}")
@@ -127,15 +133,11 @@ def _q(name: str) -> str:
 
 
 def _geojson_to_wkb(g: dict) -> bytes:
-    from ..geo.wkbio import point_wkb, polygon_wkb
-    t = g.get("type")
-    if t == "Point":
-        x, y = g["coordinates"]
-        return point_wkb(float(x), float(y))
-    if t == "Polygon":
-        return polygon_wkb([(float(x), float(y))
-                            for x, y in g["coordinates"][0]])
-    raise SearchValidationError(f"unsupported intersects geometry: {t}")
+    """Any GeoJSON geometry → WKB (search.rs:236-251 accepts them all)."""
+    try:
+        return geojson_to_wkb(g)
+    except ValueError as e:
+        raise SearchValidationError(str(e)) from e
 
 
 def _bbox_overlap(qxmin, qymin, qxmax, qymax):
@@ -153,9 +155,12 @@ def _point_in_bbox(x, y):
             & (F.col("bbox.ymin") <= F.lit(y)) & (F.col("bbox.ymax") >= F.lit(y)))
 
 
-def _polygon_refine(df: DataFrame, ring: np.ndarray) -> DataFrame:
-    """Exact refine for non-rectangular intersects polygons: vectorized
-    rect×polygon kernel over the bbox struct, Arrow-batched."""
+def _geometry_refine(df: DataFrame, pieces: list) -> DataFrame:
+    """Exact refine for non-rectangular intersects geometries:
+    vectorized rect×geometry kernel over the bbox struct,
+    Arrow-batched. `pieces` is wkbio.geometry_pieces output — the row
+    survives if its bbox intersects ANY piece (Multi* union
+    semantics)."""
     schema = df.schema
 
     def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -164,29 +169,55 @@ def _polygon_refine(df: DataFrame, ring: np.ndarray) -> DataFrame:
                 yield pdf
                 continue
             b = pdf["bbox"]
-            keep = rects_intersect_polygon(
+            keep = rects_intersect_pieces(
                 np.array([v["xmin"] for v in b]),
                 np.array([v["ymin"] for v in b]),
                 np.array([v["xmax"] for v in b]),
                 np.array([v["ymax"] for v in b]),
-                ring)
+                pieces)
             yield pdf[keep]
 
     return df.mapInPandas(refine, schema=schema)
+
+
+def _pieces_column_pred(pieces: list):
+    """Pure-Column fast path for an intersects geometry: OR of
+    point-in-bbox / rect-overlap predicates. Returns None when any
+    piece needs the exact refine kernel (non-rectangular polygon or a
+    line)."""
+    cols = []
+    for kind, data in pieces:
+        if kind == "point":
+            cols.append(_point_in_bbox(*data))
+        elif kind == "poly" and len(data) == 1 \
+                and is_axis_aligned_rect_ring(data[0]):
+            r = data[0]
+            cols.append(_bbox_overlap(float(r[:, 0].min()),
+                                      float(r[:, 1].min()),
+                                      float(r[:, 0].max()),
+                                      float(r[:, 1].max())))
+        else:
+            return None
+    out = cols[0]
+    for c in cols[1:]:
+        out = out | c
+    return out
 
 
 def build_plan(df: DataFrame, search: Search) -> DataFrame:
     """Compile a Search into a lazy DataFrame plan."""
     search.validate()
     columns = df.columns
-    refine_ring = None
+    refines: list[list] = []  # each entry: geometry pieces to refine on
 
     # --- plan-time CQL2 short-circuit (before anything else) ---------
     filter_col = None
     if search.filter is not None:
-        filter_col, short = cql2.compile_filter(search.filter, columns)
+        filter_col, short, filter_refines = cql2.compile_filter(
+            search.filter, columns)
         if short:
             df = df.where(F.lit(False))
+        refines.extend(filter_refines)
 
     preds = []
     if search.ids:
@@ -201,14 +232,13 @@ def build_plan(df: DataFrame, search: Search) -> DataFrame:
     if search.intersects is not None:
         wkb = (search.intersects if isinstance(search.intersects, bytes)
                else _geojson_to_wkb(search.intersects))
-        kind, data = parse_wkb(wkb)
-        if kind == "point":
-            preds.append(_point_in_bbox(*data))
-        elif is_axis_aligned_rect_ring(data):
-            preds.append(_bbox_overlap(*wkb_bounds(wkb)))
+        pieces = geometry_pieces(parse_wkb(wkb))
+        col = _pieces_column_pred(pieces)
+        if col is not None:
+            preds.append(col)
         else:
             preds.append(_bbox_overlap(*wkb_bounds(wkb)))  # prefilter
-            refine_ring = data
+            refines.append(pieces)
     if search.datetime is not None:
         start, end = parse_interval(search.datetime)
         item_start = F.coalesce(F.col("start_datetime"), F.col("datetime"))
@@ -223,8 +253,8 @@ def build_plan(df: DataFrame, search: Search) -> DataFrame:
     for p in preds:  # AND-combined (client.rs:396-399)
         df = df.where(p)
 
-    if refine_ring is not None:
-        df = _polygon_refine(df, refine_ring)
+    for pieces in refines:
+        df = _geometry_refine(df, pieces)
 
     if search.fields:
         include, exclude = parse_fields(search.fields)

@@ -8,10 +8,20 @@ entry point C in SURVEY.md §3).
 - unflatten: the reverse (non-top-level columns re-nested into a
   `properties` struct — geoarrow/json.rs:570-603, TOP_LEVEL_KEYS at
   json.rs:28-39)
-- migrate v1.0.0 → v1.1.0: stac_version bump, `eo:bands` → `bands`,
-  license "various"/"proprietary" → "other"
-  (crates/core/src/migrate.rs:9-119)
+- migrate v1.0.0 → v1.1.0: full port of the reference's migration
+  (crates/core/src/migrate.rs:82-260): stac_version bump, per-asset
+  band-field merge + common-value hoist (migrate_bands,
+  migrate.rs:122-213), self-link href absolutization (migrate_links,
+  migrate.rs:215-252), license "various"/"proprietary" → "other"
+  (migrate_license, migrate.rs:254-267). `migrate_item` is the
+  item-dict port; `migrate_1_0_to_1_1` is the column-level fast path
+  for flat tables (no assets column → bands step is a no-op there).
 - NDJSON in/out: Spark's native JSON source/sink
+- stac-geoparquet sink: ZSTD + 150k row groups + the two KV footer
+  metadata entries other implementations require: "geo" (GeoParquet
+  1.1 metadata with the bbox `covering` declaration,
+  crates/core/src/geoparquet.rs:410-435) and "stac-geoparquet"
+  (version + collections, geoparquet.rs:28-35,240-248,516-542).
 
 All pure select/struct transforms — a lazy single-pass pipeline,
 mirroring how the reference streams item-by-item but letting Catalyst
@@ -19,6 +29,9 @@ fuse the whole translation into the scan.
 """
 
 from __future__ import annotations
+
+import json
+from collections import Counter
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -63,6 +76,94 @@ def migrate_1_0_to_1_1(df: DataFrame) -> DataFrame:
     return out
 
 
+def _migrate_bands(asset: dict) -> None:
+    """Per-asset band merge + common-value hoist — port of
+    migrate_bands (crates/core/src/migrate.rs:122-213).
+
+    eo:bands entries keep "name" and prefix everything else with
+    "eo:"; raster:bands entries keep nodata/data_type/statistics/unit
+    and prefix the rest with "raster:". A key whose most frequent
+    value occurs in >1 bands is hoisted to the asset and removed from
+    the bands that carry that value. (The reference's tie-break across
+    equally-frequent values is HashMap-iteration-order nondeterministic;
+    here ties break on the smaller JSON encoding, deterministically.)
+    """
+    bands: list[dict] = []
+    eo = asset.pop("eo:bands", None)
+    if isinstance(eo, list):
+        bands = [{} for _ in eo]
+        for eo_band, band in zip(eo, bands):
+            if isinstance(eo_band, dict):
+                for key, value in eo_band.items():
+                    band[key if key == "name" else f"eo:{key}"] = value
+    raster = asset.pop("raster:bands", None)
+    if isinstance(raster, list):
+        while len(bands) < len(raster):
+            bands.append({})
+        keep = {"nodata", "data_type", "statistics", "unit"}
+        for raster_band, band in zip(raster, bands):
+            if isinstance(raster_band, dict):
+                for key, value in raster_band.items():
+                    band[key if key in keep else f"raster:{key}"] = value
+
+    counts: dict[str, Counter] = {}
+    values: dict[str, object] = {}
+    for band in bands:
+        for key, value in band.items():
+            enc = json.dumps(value, sort_keys=True)
+            values.setdefault(enc, value)
+            counts.setdefault(key, Counter())[enc] += 1
+    for key, count in counts.items():
+        enc, n = max(count.items(), key=lambda kv: (kv[1], kv[0]))
+        if n > 1:
+            value = values[enc]
+            for band in bands:
+                if key in band \
+                        and json.dumps(band[key], sort_keys=True) == enc:
+                    asset[key] = band.pop(key)
+    if any(bands):
+        asset["bands"] = bands
+
+
+def _migrate_links(obj: dict) -> None:
+    """Self-link href absolutization — port of migrate_links
+    (migrate.rs:215-252). POSIX-absolute hrefs become file:// URLs."""
+    for link in obj.get("links") or []:
+        if not isinstance(link, dict) or link.get("rel") != "self":
+            continue
+        href = link.get("href")
+        if isinstance(href, str) and href.startswith("/"):
+            link["href"] = f"file://{href}"
+
+
+def _migrate_license(obj: dict) -> None:
+    if obj.get("license") in ("various", "proprietary"):
+        obj["license"] = "other"
+
+
+def migrate_item(item: dict, to: str = "1.1.0") -> dict:
+    """Full v1.0.0 → v1.1.0 migration of one STAC object dict — the
+    item-level port of Step::migrate (migrate.rs:82-120). Returns a
+    new dict; the input is not mutated."""
+    import copy
+    obj = copy.deepcopy(item)
+    if "stac_version" not in obj:
+        return obj  # reference: warn + skip when version is absent
+    assets = obj.get("assets")
+    if isinstance(assets, dict):
+        for asset in assets.values():
+            if isinstance(asset, dict):
+                _migrate_bands(asset)
+    _migrate_links(obj)
+    if obj.get("type") == "Feature":
+        props = obj.setdefault("properties", {})
+        _migrate_license(props)
+    else:
+        _migrate_license(obj)
+    obj["stac_version"] = to
+    return obj
+
+
 def read_ndjson_items(spark, path: str) -> DataFrame:
     """NDJSON source (Spark-native JSON reader, schema inferred —
     the analogue of infer_json_schema_from_iterator in
@@ -74,11 +175,87 @@ def write_ndjson_items(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
+STAC_GEOPARQUET_VERSION = "1.0.0"  # geoparquet.rs:35
+GEOPARQUET_VERSION = "1.1.0"
+
+
+def geo_metadata(columns: list[str],
+                 geometry_column: str = "geometry") -> dict:
+    """The GeoParquet `geo` footer metadata dict, with the bbox
+    `covering` declaration when a bbox struct column exists — mirror
+    of bbox_covering + into_keyvalue (geoparquet.rs:397-435)."""
+    col: dict = {"encoding": "WKB", "geometry_types": []}
+    if "bbox" in columns:
+        col["covering"] = {"bbox": {
+            "xmin": ["bbox", "xmin"], "ymin": ["bbox", "ymin"],
+            "xmax": ["bbox", "xmax"], "ymax": ["bbox", "ymax"],
+        }}
+    return {"version": GEOPARQUET_VERSION,
+            "primary_column": geometry_column,
+            "columns": {geometry_column: col}}
+
+
+def stac_geoparquet_metadata(collections: dict | None = None) -> dict:
+    """The `stac-geoparquet` footer metadata dict
+    (geoparquet.rs:240-248; empty collections map omitted, matching
+    serde's skip_serializing_if)."""
+    out: dict = {"version": STAC_GEOPARQUET_VERSION}
+    if collections:
+        out["collections"] = collections
+    return out
+
+
 def write_stac_geoparquet(df: DataFrame, path: str,
-                          row_group_rows: int = 150_000) -> None:
-    """Parquet sink with the reference writer's defaults: ZSTD,
-    150k-row row groups (crates/core/src/geoparquet.rs:24-29)."""
+                          row_group_rows: int = 150_000,
+                          collections: dict | None = None) -> None:
+    """Parquet sink with the reference writer's defaults — ZSTD,
+    150k-row row groups (crates/core/src/geoparquet.rs:24-29) — plus
+    the `geo` and `stac-geoparquet` KV footer metadata other
+    stac-geoparquet implementations require (the reference appends
+    them at finish(), geoparquet.rs:516-542,624-631).
+
+    Spark's parquet writer can't attach arbitrary footer KV, so the
+    metadata is stamped in a post-pass footer rewrite per part file.
+    Scale note: the rewrite is distributed over the same executors
+    that wrote the files on a real cluster (one task per file via the
+    binaryFile-list + foreachPartition pattern); at local[_] scale a
+    driver-side loop over the directory is equivalent and simpler.
+    """
     (df.write.mode("overwrite")
      .option("compression", "zstd")
      .option("parquet.block.size", str(row_group_rows * 256))
      .parquet(path))
+    import glob
+    import os
+    import pyarrow.parquet as pq
+    kv = {
+        "geo": json.dumps(geo_metadata(df.columns)),
+        "stac-geoparquet": json.dumps(stac_geoparquet_metadata(collections)),
+    }
+    for part in glob.glob(f"{path}/*.parquet"):
+        table = pq.read_table(part)
+        meta = dict(table.schema.metadata or {})
+        meta.update({k.encode(): v.encode() for k, v in kv.items()})
+        pq.write_table(table.replace_schema_metadata(meta), part,
+                       compression="zstd",
+                       row_group_size=row_group_rows)
+        # the Hadoop CRC sidecar no longer matches the rewritten file
+        crc = os.path.join(os.path.dirname(part),
+                           f".{os.path.basename(part)}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+
+
+def read_stac_geoparquet_metadata(path: str) -> dict:
+    """Parse the `geo` + `stac-geoparquet` KV footer metadata of a
+    stac-geoparquet dataset (first part file — all parts carry the
+    same KVs)."""
+    import glob
+    import pyarrow.parquet as pq
+    parts = sorted(glob.glob(f"{path}/*.parquet")) or [path]
+    meta = pq.read_schema(parts[0]).metadata or {}
+    out = {}
+    for key in (b"geo", b"stac-geoparquet"):
+        if key in meta:
+            out[key.decode()] = json.loads(meta[key])
+    return out

@@ -62,10 +62,101 @@ def test_properties_collection():
 
 
 def test_compile_short_circuit(spark):
-    col, short = compile_filter("nope = 1", ["id", "collection"])
-    assert short and col is None
-    col, short = compile_filter("id = 'x'", ["id", "collection"])
-    assert not short and col is not None
+    col, short, refines = compile_filter("nope = 1", ["id", "collection"])
+    assert short and col is None and refines == []
+    col, short, refines = compile_filter("id = 'x'", ["id", "collection"])
+    assert not short and col is not None and refines == []
+
+
+def test_parse_wkt_literals():
+    from rustac_spark.geo.wkbio import geometry_pieces, parse_wkb
+    from rustac_spark.stac.cql2 import Geom
+    ast = parse_text("s_intersects(geometry, POINT(-106 40.5))")
+    assert ast.op == "s_intersects"
+    assert isinstance(ast.args[0], Prop) and ast.args[0].name == "geometry"
+    assert isinstance(ast.args[1], Geom)
+    assert parse_wkb(ast.args[1].wkb) == ("point", (-106.0, 40.5))
+
+    ast = parse_text(
+        "S_INTERSECTS(geometry, POLYGON((-107 39, -105 39, -106 41, -107 39)))")
+    kind, rings = parse_wkb(ast.args[1].wkb)
+    assert kind == "polygon" and rings[0].shape == (4, 2)
+
+    ast = parse_text("s_intersects(geometry, BBOX(-107, 39, -105, 41))")
+    kind, rings = parse_wkb(ast.args[1].wkb)
+    assert kind == "polygon" and rings[0].shape == (5, 2)
+
+    ast = parse_text(
+        "s_intersects(geometry, MULTIPOLYGON((( -1 -1, 1 -1, 1 1, -1 -1)),"
+        "((5 5, 6 5, 6 6, 5 5))))")
+    kind, polys = parse_wkb(ast.args[1].wkb)
+    assert kind == "multipolygon" and len(polys) == 2
+    assert len(geometry_pieces((kind, polys))) == 2
+
+    ast = parse_text("s_intersects(geometry, LINESTRING(0 0, 2 2, 4 0))")
+    kind, pts = parse_wkb(ast.args[1].wkb)
+    assert kind == "linestring" and pts.shape == (3, 2)
+
+    ast = parse_text("s_intersects(geometry, MULTIPOINT((0 0), (1 1)))")
+    assert parse_wkb(ast.args[1].wkb) == (
+        "multipoint", [(0.0, 0.0), (1.0, 1.0)])
+
+
+def test_parse_json_geometry():
+    from rustac_spark.stac.cql2 import Geom
+    ast = parse({"op": "s_intersects", "args": [
+        {"property": "geometry"},
+        {"type": "Polygon",
+         "coordinates": [[[-107, 39], [-105, 39], [-106, 41], [-107, 39]]]},
+    ]})
+    assert ast.op == "s_intersects" and isinstance(ast.args[1], Geom)
+    assert properties(ast) == {"geometry"}
+
+
+def test_temporal_strict(spark):
+    from datetime import datetime
+    from rustac_spark.stac.cql2 import evaluate
+    item = {"datetime": datetime(2024, 6, 1)}
+    boundary = "t_before(datetime, timestamp('2024-06-01T00:00:00Z'))"
+    assert evaluate(parse(boundary), item) is False  # strict: equal ⇒ False
+    after = "t_after(datetime, timestamp('2024-06-01T00:00:00Z'))"
+    assert evaluate(parse(after), item) is False
+    before = "t_before(datetime, timestamp('2024-06-02T00:00:00Z'))"
+    assert evaluate(parse(before), item) is True
+    eq = "t_intersects(datetime, timestamp('2024-06-01T00:00:00Z'))"
+    assert evaluate(parse(eq), item) is True
+
+
+def test_s_intersects_column_compile(spark):
+    # point and rect literals compile to pure Columns, no refine
+    col, short, refines = compile_filter(
+        "s_intersects(geometry, POINT(-106 40.5)) and id = 'x'",
+        ["id", "geometry", "bbox"])
+    assert not short and col is not None and refines == []
+    # general polygon in AND position → prefilter col + one refine
+    col, short, refines = compile_filter(
+        "s_intersects(geometry, POLYGON((-107 39, -105 39, -106 41, -107 39)))",
+        ["id", "geometry", "bbox"])
+    assert not short and col is not None and len(refines) == 1
+    # general polygon under OR → unsupported (refines are conjunctive)
+    with pytest.raises(Cql2Error):
+        compile_filter(
+            "id = 'x' or s_intersects(geometry, "
+            "POLYGON((-107 39, -105 39, -106 41, -107 39)))",
+            ["id", "geometry", "bbox"])
+
+
+def test_s_intersects_evaluate():
+    from rustac_spark.geo.wkbio import bbox_polygon_wkb
+    from rustac_spark.stac.cql2 import evaluate
+    tri = "s_intersects(geometry, POLYGON((0 0, 4 0, 2 4, 0 0)))"
+    inside = {"geometry": bbox_polygon_wkb(1.5, 0.5, 2.5, 1.5)}
+    outside = {"geometry": bbox_polygon_wkb(10, 10, 11, 11)}
+    geojson = {"geometry": {"type": "Point", "coordinates": [2.0, 1.0]}}
+    assert evaluate(parse(tri), inside) is True
+    assert evaluate(parse(tri), outside) is False
+    assert evaluate(parse(tri), geojson) is True
+    assert evaluate(parse(tri), {"geometry": None}) is None
 
 
 def test_bad_input():

@@ -29,6 +29,29 @@ def test_cql2_filter_pushed_to_scan(stac_items):
     assert "geometry" not in read and "links" not in read
 
 
+def test_cql2_s_intersects_pushed_to_scan(stac_items):
+    # the rect/point s_intersects path is pure Column math on the bbox
+    # struct, so the whole spatial predicate reaches the parquet scan
+    df = build_plan(stac_items, Search(
+        filter="s_intersects(geometry, BBOX(-106.1, 40.5, -106.0, 40.6))",
+        fields="+id"))
+    plan = _physical(df)
+    pushed = plan.split("PushedFilters")[1][:400]
+    assert "bbox.xmin" in pushed and "bbox.ymax" in pushed
+    assert "mapInPandas" not in plan.lower()  # no refine for rect literals
+
+
+def test_intersects_multipolygon_rects_stay_column(stac_items):
+    # multiple axis-aligned rings → OR of bbox overlaps, still no UDF
+    mp = {"type": "MultiPolygon", "coordinates": [
+        [[[-106.1, 40.5], [-106.0, 40.5], [-106.0, 40.6],
+          [-106.1, 40.6], [-106.1, 40.5]]],
+        [[[10, 10], [11, 10], [11, 11], [10, 11], [10, 10]]]]}
+    df = build_plan(stac_items, Search(intersects=mp, fields="+id"))
+    plan = _physical(df)
+    assert "mapInPandas" not in plan.lower()
+
+
 def test_datetime_filter_pushed_to_scan(stac_items):
     df = build_plan(stac_items,
                     Search(datetime="2024-12-02T00:00:00Z/.."))

@@ -24,8 +24,8 @@ size = st.floats(min_value=1e-6, max_value=2.0, allow_nan=False)
 def test_wkb_bbox_roundtrip(x, y, w, h):
     wkb = bbox_polygon_wkb(x, y, x + w, y + h)
     assert wkb_bounds(wkb) == (x, y, x + w, y + h)
-    kind, ring = parse_wkb(wkb)
-    assert kind == "polygon" and ring.shape == (5, 2)
+    kind, rings = parse_wkb(wkb)
+    assert kind == "polygon" and len(rings) == 1 and rings[0].shape == (5, 2)
 
 
 @given(lon, lat, size, size, lon, lat)

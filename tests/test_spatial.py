@@ -98,7 +98,7 @@ def _oracle_pairs_polygon() -> set:
                    f"FROM read_parquet('{GEO}')").df()
     out = set()
     for qid, wkb in qs:
-        ring = parse_wkb(bytes(wkb))[1]
+        ring = parse_wkb(bytes(wkb))[1][0]
         # sample-based exact check: rect corners/centre in polygon OR
         # polygon vertex in rect OR edge crossing — replicate via dense
         # sampling of the rect boundary + winding PIP (independent of

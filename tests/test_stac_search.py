@@ -45,6 +45,57 @@ def test_intersects_nonrect_polygon(stac_items):
     assert run(stac_items, intersects=tri).count() == 50
 
 
+def test_intersects_multipolygon(stac_items):
+    # country-outline shape: two disjoint rects, one over the cluster
+    mp = {"type": "MultiPolygon", "coordinates": [
+        [[[-106.1, 40.5], [-106.0, 40.5], [-106.0, 40.6],
+          [-106.1, 40.6], [-106.1, 40.5]]],
+        [[[10, 10], [11, 10], [11, 11], [10, 11], [10, 10]]],
+    ]}
+    assert run(stac_items, intersects=mp).count() == 50
+
+
+def test_intersects_linestring(stac_items):
+    # horizontal line through the cluster's latitude band
+    ls = {"type": "LineString",
+          "coordinates": [[-106.2, 40.5], [-105.9, 40.5]]}
+    n = run(stac_items, intersects=ls).count()
+    assert 0 < n <= 50
+    far = {"type": "LineString", "coordinates": [[10, 10], [11, 11]]}
+    assert run(stac_items, intersects=far).count() == 0
+
+
+def test_intersects_geometrycollection(stac_items):
+    gc = {"type": "GeometryCollection", "geometries": [
+        {"type": "Point", "coordinates": [-106.0, 40.5]},
+        {"type": "Polygon",
+         "coordinates": [[[10, 10], [11, 10], [11, 11], [10, 10]]]},
+    ]}
+    assert run(stac_items, intersects=gc).count() == 50
+
+
+def test_cql2_s_intersects_filter(stac_items):
+    assert run(stac_items,
+               filter="s_intersects(geometry, "
+                      "BBOX(-106.1, 40.5, -106.0, 40.6))").count() == 50
+    # non-rect polygon → prefilter + exact refine path
+    assert run(stac_items,
+               filter="s_intersects(geometry, POLYGON((-107 39.5, -105 39.5,"
+                      " -106 41.5, -107 39.5)))").count() == 50
+    # combined with an attribute predicate
+    n = run(stac_items,
+            filter="s_intersects(geometry, BBOX(-106.1, 40.5, -106.0, 40.6))"
+                   " and eo:cloud_cover < 50").count()
+    assert 0 < n < 50
+
+
+def test_bbox_3d_z_validation(stac_items):
+    assert run(stac_items,
+               bbox=[-106.1, 40.5, 0.0, -106.0, 40.6, 100.0]).count() == 50
+    with pytest.raises(SearchValidationError):
+        Search(bbox=[-106.1, 40.5, 100.0, -106.0, 40.6, 0.0]).validate()
+
+
 def test_datetime_open_ranges_1_99(stac_items):
     assert run(stac_items, datetime="2024-12-02T00:00:00Z/..").count() == 1
     assert run(stac_items, datetime="../2024-12-02T00:00:00Z").count() == 99

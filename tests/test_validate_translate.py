@@ -7,7 +7,8 @@ import json
 from pyspark.sql import functions as F
 
 from rustac_spark.stac.translate import (
-    flatten_items, migrate_1_0_to_1_1, unflatten_items,
+    flatten_items, migrate_1_0_to_1_1, migrate_item,
+    read_stac_geoparquet_metadata, unflatten_items, write_stac_geoparquet,
 )
 from rustac_spark.stac.validate import validate_json_column, validate_value
 
@@ -99,3 +100,74 @@ def test_migrate(spark):
     assert all(r["stac_version"] == "1.1.0" for r in out)
     assert sorted(r["license"] for r in out) == ["MIT", "other"]
     assert "bands" in migrate_1_0_to_1_1(df).columns
+
+
+def test_migrate_item_bands():
+    # mirrors the reference's migrate_bands semantics
+    # (crates/core/src/migrate.rs:122-213): eo/raster band merge with
+    # key prefixing + common-value hoist to the asset
+    item = {
+        "type": "Feature", "stac_version": "1.0.0", "id": "m1",
+        "properties": {"license": "proprietary"},
+        "links": [{"rel": "self", "href": "/data/m1.json"},
+                  {"rel": "root", "href": "/data/"}],
+        "assets": {"data": {
+            "href": "s3://b/k",
+            "eo:bands": [
+                {"name": "B1", "common_name": "blue",
+                 "center_wavelength": 0.47},
+                {"name": "B2", "common_name": "blue",
+                 "center_wavelength": 0.56},
+            ],
+            "raster:bands": [
+                {"data_type": "uint16", "scale": 0.0001},
+                {"data_type": "uint16", "scale": 0.0001},
+            ],
+        }},
+    }
+    out = migrate_item(item)
+    assert out["stac_version"] == "1.1.0"
+    asset = out["assets"]["data"]
+    assert "eo:bands" not in asset and "raster:bands" not in asset
+    # common values hoisted to the asset...
+    assert asset["eo:common_name"] == "blue"
+    assert asset["data_type"] == "uint16"
+    assert asset["raster:scale"] == 0.0001
+    # ...distinct per-band values stay in bands, "name" unprefixed
+    assert asset["bands"] == [
+        {"name": "B1", "eo:center_wavelength": 0.47},
+        {"name": "B2", "eo:center_wavelength": 0.56},
+    ]
+    # self link absolutized, other links untouched
+    assert out["links"][0]["href"] == "file:///data/m1.json"
+    assert out["links"][1]["href"] == "/data/"
+    # license migrated inside properties for Features
+    assert out["properties"]["license"] == "other"
+    # input not mutated
+    assert item["stac_version"] == "1.0.0"
+    assert "eo:bands" in item["assets"]["data"]
+
+
+def test_migrate_item_no_version_skips():
+    assert migrate_item({"type": "Feature", "id": "x"}) == {
+        "type": "Feature", "id": "x"}
+
+
+def test_stac_geoparquet_kv_metadata(spark, stac_items, tmp_path):
+    path = str(tmp_path / "items_gpq")
+    write_stac_geoparquet(stac_items, path)
+    meta = read_stac_geoparquet_metadata(path)
+    geo = meta["geo"]
+    assert geo["primary_column"] == "geometry"
+    assert geo["columns"]["geometry"]["encoding"] == "WKB"
+    assert geo["columns"]["geometry"]["covering"]["bbox"]["xmin"] == \
+        ["bbox", "xmin"]
+    assert meta["stac-geoparquet"]["version"] == "1.0.0"
+    assert "collections" not in meta["stac-geoparquet"]
+    # roundtrip: re-read produces identical rows (geoparquet.rs:789-1038
+    # roundtrip test model)
+    back = spark.read.parquet(path)
+    assert back.count() == stac_items.count()
+    a = {r["id"] for r in stac_items.select("id").collect()}
+    b = {r["id"] for r in back.select("id").collect()}
+    assert a == b
