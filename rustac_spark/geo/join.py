@@ -114,7 +114,8 @@ def spatial_join(pages: DataFrame, queries: DataFrame,
                  res: int = DEFAULT_RES,
                  broadcast_queries: bool = True,
                  page_cols: list[str] | None = None,
-                 subdivide_threshold: int | None = None) -> DataFrame:
+                 subdivide_threshold: int | None = None,
+                 has_polygons: bool | None = None) -> DataFrame:
     """pages ⋈_ST_Intersects queries → (query_id, kind, *page_cols).
 
     pages must carry footprint bbox columns xmin/ymin/xmax/ymax
@@ -124,11 +125,18 @@ def spatial_join(pages: DataFrame, queries: DataFrame,
     Column math (zero Python). With polygons, one Arrow-batched refine
     pass runs over the (output-sized) candidate stream — the pages
     scan still happens exactly once.
+
+    has_polygons: pass True/False to skip the small plan-time probe of
+    the query side (a `.limit(1).count()` on the queries table). The
+    probe is cheap — queries are small by contract — but it is an
+    eager action, so iterative callers that rebuild the join per step
+    should supply the flag to keep the whole pipeline lazy.
     """
     page_cols = page_cols or [c for c in pages.columns
                               if c not in ("html", "text")]
-    has_polygons = bool(
-        queries.where(F.col("kind") == "polygon").limit(1).count())
+    if has_polygons is None:
+        has_polygons = bool(
+            queries.where(F.col("kind") == "polygon").limit(1).count())
 
     qcols = QUERY_COLS if has_polygons else [c for c in QUERY_COLS
                                              if c != "geometry"]

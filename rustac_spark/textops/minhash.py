@@ -12,8 +12,12 @@ Pipeline (the standard shingle → minhash → band → bucket-join shape):
    at scale this is a hash-partitioned shuffle join on band keys —
    bucket skew (a viral shingle) is bounded because identical texts
    were already removed by exact dedup upstream;
-4. verify: exact Jaccard over the shingle sets of candidate pairs
-   (precision = 1 by construction; recall governed by (b, r)).
+4. verify: exact Jaccard over the shingle-hash SETS cached at
+   signature time (precision = 1 by construction; recall governed by
+   (b, r)). The verify join moves only (id, sig, shingle-hash array)
+   rows — the raw corpus text is scanned exactly once and never
+   shuffled; the Jaccard itself is pure Column math
+   (array_intersect/size), no second Python pass.
 
 Determinism: crc32 + fixed (a, b) tables derived from sha256 of the
 permutation index — stable across processes and partitionings.
@@ -51,29 +55,45 @@ def shingles(text: str, n: int = 3) -> set[int]:
     return {zlib.crc32(t[i:i + n].encode("utf-8")) for i in range(len(t) - n + 1)}
 
 
-def minhash_signature(text: str, k: int = 64, n: int = 3,
-                      _tables={}) -> np.ndarray:
+def _sig_from_hashes(h: np.ndarray, k: int, _tables={}) -> np.ndarray:
     if k not in _tables:
         _tables[k] = _perm_tables(k)
     a, b = _tables[k]
-    sh = shingles(text, n)
-    if not sh:
+    if h.size == 0:
         return np.full(k, MERSENNE_P, dtype=np.uint64)
-    h = np.fromiter(sh, dtype=np.uint64, count=len(sh))
     m = (a[:, None] * h[None, :] + b[:, None]) % MERSENNE_P  # (k, |sh|)
     return m.min(axis=1)
 
 
+def minhash_signature(text: str, k: int = 64, n: int = 3) -> np.ndarray:
+    sh = shingles(text, n)
+    return _sig_from_hashes(
+        np.fromiter(sh, dtype=np.uint64, count=len(sh)), k)
+
+
 def with_signatures(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", k: int = 64,
-                    n: int = 3) -> DataFrame:
+                    n: int = 3, include_shingles: bool = False) -> DataFrame:
+    """→ (id, sig) [, sh] in ONE pass over the corpus. With
+    include_shingles the distinct shingle-hash set rides along as an
+    int32 array so the verify step never has to touch the text again."""
     out_schema = f"{id_col} long, sig array<long>"
+    if include_shingles:
+        out_schema += ", sh array<int>"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            sigs = [minhash_signature(t or "", k, n).astype(np.int64).tolist()
-                    for t in pdf[text_col]]
-            yield pd.DataFrame({id_col: pdf[id_col], "sig": sigs})
+            sigs, shs = [], []
+            for t in pdf[text_col]:
+                s = shingles(t or "", n)
+                h = np.fromiter(s, dtype=np.uint64, count=len(s))
+                sigs.append(_sig_from_hashes(h, k).astype(np.int64).tolist())
+                if include_shingles:
+                    shs.append(h.astype(np.uint32).astype(np.int32).tolist())
+            out = {id_col: pdf[id_col], "sig": sigs}
+            if include_shingles:
+                out["sh"] = shs
+            yield pd.DataFrame(out)
 
     return df.select(id_col, text_col).mapInPandas(gen, schema=out_schema)
 
@@ -97,28 +117,30 @@ def candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
 def near_dup_pairs(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", threshold: float = 0.8,
                    k: int = 64, bands: int = 16, rows: int = 4,
-                   n: int = 3) -> DataFrame:
-    """Full pipeline → (a, b, jaccard) verified pairs ≥ threshold."""
-    sigs = with_signatures(df, text_col, id_col, k, n)
-    cands = candidate_pairs(sigs, id_col, bands, rows)
-    texts = df.select(F.col(id_col), F.col(text_col))
+                   n: int = 3, persist: bool = True) -> DataFrame:
+    """Full pipeline → (a, b, jaccard) verified pairs ≥ threshold.
+
+    The corpus text is read exactly once (the signature pass also
+    caches each doc's distinct shingle-hash set); candidates and the
+    exact-Jaccard verify operate on that compact (id, sig, sh) table —
+    at 100 TB the verify joins shuffle shingle-hash arrays, never the
+    corpus. `persist` keeps the one Python pass from re-running for
+    the candidate and verify branches."""
+    sigs = with_signatures(df, text_col, id_col, k, n,
+                           include_shingles=True)
+    if persist:
+        sigs = sigs.persist()
+    cands = candidate_pairs(sigs.select(id_col, "sig"), id_col, bands, rows)
+    sets = sigs.select(F.col(id_col), F.col("sh"))
     joined = (cands
-              .join(texts.withColumnRenamed(id_col, "a")
-                    .withColumnRenamed(text_col, "text_a"), "a")
-              .join(texts.withColumnRenamed(id_col, "b")
-                    .withColumnRenamed(text_col, "text_b"), "b"))
-
-    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            jac = []
-            for ta, tb in zip(pdf["text_a"], pdf["text_b"]):
-                sa, sb = shingles(ta or "", n), shingles(tb or "", n)
-                u = len(sa | sb)
-                jac.append(len(sa & sb) / u if u else 0.0)
-            out = pdf[["a", "b"]].copy()
-            out["jaccard"] = np.round(jac, 6)
-            yield out[out["jaccard"] >= threshold]
-
-    return joined.mapInPandas(verify, schema="a long, b long, jaccard double")
+              .join(sets.withColumnRenamed(id_col, "a")
+                    .withColumnRenamed("sh", "sh_a"), "a")
+              .join(sets.withColumnRenamed(id_col, "b")
+                    .withColumnRenamed("sh", "sh_b"), "b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (joined
+            .withColumn("jaccard", F.round(
+                F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 6))
+            .where(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard"))

@@ -1,52 +1,73 @@
 """SimHash near-duplicate fingerprinting (north-rule training-data
 operator).
 
-64-bit simhash over whitespace tokens (crc32-seeded per-token 64-bit
-hash via two crc32 halves), vectorized per Arrow batch. Candidate
-generation uses the pigeonhole block trick: split the 64-bit print
-into 4×16-bit chunks — any pair within Hamming distance ≤3 shares at
-least one exact chunk, so a 4-way chunk-equi-join finds all such pairs
-without an O(n²) comparison. The final Hamming check runs on the
-(small) candidate set.
+64-bit simhash over whitespace tokens, fully vectorized per Arrow
+batch: all tokens of all docs in the batch are hashed in one
+``pd.util.hash_array`` call (SipHash-1-3 with the fixed default key —
+deterministic across processes), the ±1 bit votes accumulate with one
+``np.add.reduceat`` over the per-doc token segments, and the sign
+gives the fingerprint. No per-token Python in the hot path.
+
+Candidate generation uses the pigeonhole block trick: split the
+64-bit print into 4×16-bit chunks — any pair within Hamming distance
+≤3 shares at least one exact chunk, so a 4-way chunk-equi-join finds
+all such pairs without an O(n²) comparison. The final Hamming check
+runs JVM-side on the (small) candidate set.
 """
 
 from __future__ import annotations
 
-import zlib
 from typing import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+_BIT_SHIFTS = np.arange(64, dtype=np.uint64)
 
-def _token_hash64(tok: str) -> int:
-    b = tok.encode("utf-8")
-    return (zlib.crc32(b) << 32) | zlib.crc32(b, 0x9E3779B9)
+
+def simhash_batch(texts) -> np.ndarray:
+    """Vectorized 64-bit simhash of a sequence of texts → uint64[n].
+
+    One hash_array call for every token in the batch, one reduceat for
+    the per-doc bit-vote sums.
+    """
+    tok_lists = [(t or "").lower().split() for t in texts]
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
+                       count=len(tok_lists))
+    out = np.zeros(len(tok_lists), dtype=np.uint64)
+    total = int(lens.sum())
+    if total == 0:
+        return out
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for toks in tok_lists:
+        flat[pos:pos + len(toks)] = toks
+        pos += len(toks)
+    h = pd.util.hash_array(flat, categorize=True)  # uint64, vectorized
+    # (total, 64) ±1 votes; int8 keeps the matrix small
+    votes = (((h[:, None] >> _BIT_SHIFTS[None, :]) & 1)
+             .astype(np.int8) * 2 - 1)
+    nonempty = lens > 0
+    offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+    np.cumsum(lens[nonempty][:-1], out=offsets[1:])
+    acc = np.add.reduceat(votes.astype(np.int32), offsets, axis=0)
+    bits = (acc > 0).astype(np.uint64)
+    prints = (bits << _BIT_SHIFTS[None, :]).sum(axis=1, dtype=np.uint64)
+    out[nonempty] = prints
+    return out
 
 
 def simhash64(text: str) -> int:
-    toks = text.lower().split()
-    if not toks:
-        return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for t in toks:
-        h = _token_hash64(t)
-        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-        acc += np.where(bits.astype(bool), 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    """Single-doc convenience wrapper (tests / driver-side oracles)."""
+    return int(simhash_batch([text])[0])
 
 
 def with_simhash(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            # int64 reinterpret (Spark LongType) — bit pattern preserved
-            sh = [np.int64(np.uint64(simhash64(t or ""))) for t in pdf[text_col]]
+            sh = simhash_batch(pdf[text_col]).astype(np.int64)
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": sh})
 
     return df.select(id_col, text_col).mapInPandas(

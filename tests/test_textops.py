@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from rustac_spark.textops.minhash import (
     minhash_signature, near_dup_pairs, shingles,
 )
+from rustac_spark.textops.ngram import jaccard_pairs
 from rustac_spark.textops.simhash import near_dup_pairs_simhash, simhash64
 from rustac_spark.textops.basic import exact_dedup_groups, with_text_stats
 from rustac_spark.ml.ann import knn_bruteforce, knn_lsh
@@ -92,6 +93,42 @@ def test_simhash_blocking_exact_for_small_distance(spark, corpus):
             exp.add((a, b, d))
     assert got == exp
     assert len(got) > 0
+
+
+def test_minhash_verify_never_touches_text(spark, corpus):
+    # the verify path must join shingle-hash arrays, not the corpus
+    # text: one Python pass, no second text shuffle (VERDICT r01 #5)
+    out = near_dup_pairs(corpus, threshold=0.7, persist=False)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "text_a" not in plan and "text_b" not in plan
+    # with persist (the default) the one Python pass is computed once
+    # and every branch reads the InMemoryRelation
+    cached = near_dup_pairs(corpus, threshold=0.7)
+    cplan = cached._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in cplan
+
+
+def test_ngram_max_df_cap_bounds_skew(spark):
+    # every doc shares the viral shingle "zzz"; rare shingles pair up
+    # only docs 0 and 1. With the cap, the viral bucket never joins,
+    # but the emitted pair's jaccard is still the exact uncapped value.
+    rows = [(i, "zzz" + f"unique{i:04d}text{i:04d}") for i in range(2, 50)]
+    rows += [(0, "zzzsharedcontenthere"), (1, "zzzsharedcontenthere")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = jaccard_pairs(df, threshold=0.9, max_df=5)
+    got = {(r["a"], r["b"]): r["jaccard"] for r in capped.collect()}
+    assert got == {(0, 1): 1.0}
+    # uncapped finds the same pairs at this threshold
+    uncapped = {(r["a"], r["b"]): r["jaccard"]
+                for r in jaccard_pairs(df, threshold=0.9,
+                                       max_df=None).collect()}
+    assert got == uncapped
+    # a pair sharing ONLY the viral shingle is dropped by the cap —
+    # the documented (and intended) approximation
+    lonely = spark.createDataFrame(
+        [(0, "zzzAAABBB"), (1, "zzzCCCDDD")], ["doc_id", "text"])
+    assert jaccard_pairs(lonely, threshold=0.01, max_df=1).count() == 0
+    assert jaccard_pairs(lonely, threshold=0.01, max_df=None).count() == 1
 
 
 def test_exact_dedup(spark):
