@@ -33,6 +33,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from . import cells as default_grid
 from .cells import DEFAULT_RES, cell_of_point, cover_bbox
 from .predicates import rects_intersect_pieces
 from .wkbio import geometry_pieces, parse_wkb
@@ -41,15 +42,17 @@ QUERY_COLS = ["query_id", "kind", "qxmin", "qymin", "qxmax", "qymax",
               "geometry"]
 
 
-def explode_page_cells(pages: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
+def explode_page_cells(pages: DataFrame, res: int = DEFAULT_RES,
+                       grid=default_grid) -> DataFrame:
     return pages.withColumn(
-        "cell", F.explode(cover_bbox(
+        "cell", F.explode(grid.cover_bbox(
             F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"), res)))
 
 
-def explode_query_cells(queries: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
+def explode_query_cells(queries: DataFrame, res: int = DEFAULT_RES,
+                        grid=default_grid) -> DataFrame:
     return queries.withColumn(
-        "cell", F.explode(cover_bbox(
+        "cell", F.explode(grid.cover_bbox(
             F.col("qxmin"), F.col("qymin"), F.col("qxmax"), F.col("qymax"),
             res)))
 
@@ -59,7 +62,8 @@ def _rect_overlap():
             & (F.col("ymin") <= F.col("qymax")) & (F.col("ymax") >= F.col("qymin")))
 
 
-def _reference_point_dedup(res: int, hot: set[int] | None = None):
+def _reference_point_dedup(res: int, hot: set[int] | None = None,
+                           grid=default_grid):
     """Keep a candidate pair only in the cell owning the intersection's
     min corner — exactly-once emission without a distinct shuffle.
 
@@ -70,11 +74,11 @@ def _reference_point_dedup(res: int, hot: set[int] | None = None):
     """
     rx = F.greatest(F.col("xmin"), F.col("qxmin"))
     ry = F.greatest(F.col("ymin"), F.col("qymin"))
-    ref = cell_of_point(rx, ry, res)
+    ref = grid.cell_of_point(rx, ry, res)
     if hot:
         hot_arr = F.array(*[F.lit(c) for c in sorted(hot)])
         ref = F.when(F.array_contains(hot_arr, ref),
-                     cell_of_point(rx, ry, res + 1)).otherwise(ref)
+                     grid.cell_of_point(rx, ry, res + 1)).otherwise(ref)
     return F.col("cell") == ref
 
 
@@ -115,7 +119,8 @@ def spatial_join(pages: DataFrame, queries: DataFrame,
                  broadcast_queries: bool = True,
                  page_cols: list[str] | None = None,
                  subdivide_threshold: int | None = None,
-                 has_polygons: bool | None = None) -> DataFrame:
+                 has_polygons: bool | None = None,
+                 grid=default_grid) -> DataFrame:
     """pages ⋈_ST_Intersects queries → (query_id, kind, *page_cols).
 
     pages must carry footprint bbox columns xmin/ymin/xmax/ymax
@@ -141,11 +146,14 @@ def spatial_join(pages: DataFrame, queries: DataFrame,
     qcols = QUERY_COLS if has_polygons else [c for c in QUERY_COLS
                                              if c != "geometry"]
     p = explode_page_cells(pages.select(*dict.fromkeys(
-        page_cols + ["xmin", "ymin", "xmax", "ymax"])), res)
-    q = explode_query_cells(queries.select(*qcols), res)
+        page_cols + ["xmin", "ymin", "xmax", "ymax"])), res, grid)
+    q = explode_query_cells(queries.select(*qcols), res, grid)
 
     hot: set[int] | None = None
     if subdivide_threshold is not None:
+        if grid is not default_grid:
+            raise NotImplementedError(
+                "adaptive subdivision is implemented for the default grid")
         # adaptive subdivision (pipeline/skew.py): hot cells re-cover
         # at res+1 on BOTH sides so the equi-join keys stay aligned
         from ..pipeline.skew import hot_cells, subdivide_cover
@@ -165,7 +173,7 @@ def spatial_join(pages: DataFrame, queries: DataFrame,
 
     joined = (p.join(q, "cell")
               .where(_rect_overlap())
-              .where(_reference_point_dedup(res, hot)))
+              .where(_reference_point_dedup(res, hot, grid)))
     if has_polygons:
         joined = _mixed_refine(joined)
     out_cols = ["query_id", "kind"] + page_cols
