@@ -1,11 +1,13 @@
 """Multimodal column plumbing (north-rule training-data operators).
 
 Images/audio/video are opaque ``binary`` columns with typed metadata.
-The decode / feature-extract steps are STUBBED (Pillow/librosa are not
-in this container) behind ``NotImplementedError`` or a deterministic
-fake — but the Spark-side plumbing (schemas, Arrow batch shapes,
-partitioning) is real and tested, so dropping in a real decoder is a
-one-function change.
+Uncompressed image formats (PPM P6, 24-bit BMP) decode, feature-extract
+and resize with REAL pure-numpy kernels (mm/codecs.py); compressed
+formats (PNG/JPEG/GIF) and video frame sampling stay STUBBED behind
+``NotImplementedError`` or a deterministic fake (Pillow/ffmpeg are not
+in this container) — the Spark-side plumbing (schemas, Arrow batch
+shapes, partitioning) is identical for both, so adding Pillow later is
+a one-branch change in ``codecs.decode_image``.
 """
 
 from __future__ import annotations
@@ -15,12 +17,16 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from .codecs import decode_image, image_features, ppm_encode, resize_nearest
+
 MAGIC = {
     b"<html>": "text/html",
     b"\x89PNG\r\n": "image/png",
     b"\xff\xd8\xff": "image/jpeg",
     b"GIF8": "image/gif",
     b"RIFF": "audio/wav",
+    b"P6": "image/x-portable-pixmap",
+    b"BM": "image/bmp",
 }
 
 
@@ -41,49 +47,26 @@ DECODE_SCHEMA = ("url string, width int, height int, channels int, "
                  "features array<float>")
 
 
-def decode_image_stub(data: bytes) -> tuple[int, int, int, list[float]]:
-    """STUB — deterministic fake decode (real impl: PIL.Image.open).
-    Raises for non-image payloads like a real decoder would."""
-    for magic, mime in MAGIC.items():
-        if data.startswith(magic) and mime.startswith("image/"):
-            h = sum(data[:16])
-            return (64 + h % 512, 64 + (h * 7) % 512, 3,
-                    [float((h >> i) & 0xFF) / 255.0 for i in range(0, 32, 8)])
-    raise NotImplementedError(
-        "real image decoding requires Pillow (not in this container); "
-        "payload is not a recognized image format")
-
-
 def extract_image_features(df: DataFrame, bin_col: str = "payload",
                            url_col: str = "url") -> DataFrame:
-    """mapInPandas plumbing for batch image decode → (url, w, h, c,
-    features). Batch shape and schema are production-real; the decode
-    kernel is the stub above."""
+    """Batch image decode → (url, w, h, c, features). PPM/BMP decode
+    with the real numpy kernels; unsupported formats yield a null row
+    (the behavior of a decode-with-dead-letter pipeline stage)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for url, data in zip(pdf[url_col], pdf[bin_col]):
                 try:
-                    w, h, c, feats = decode_image_stub(bytes(data))
-                    rows.append((url, w, h, c, feats))
-                except NotImplementedError:
+                    arr = decode_image(bytes(data))
+                    rows.append((url, arr.shape[1], arr.shape[0],
+                                 arr.shape[2], image_features(arr)))
+                except (NotImplementedError, ValueError):
                     rows.append((url, None, None, None, None))
             yield pd.DataFrame(rows, columns=[
                 "url", "width", "height", "channels", "features"])
 
     return df.select(url_col, bin_col).mapInPandas(gen, schema=DECODE_SCHEMA)
-
-
-def resize_image_stub(data: bytes, width: int, height: int) -> bytes:
-    """STUB — deterministic fake resize (real impl: PIL thumbnail).
-    Returns a synthetic payload carrying the target dims so the
-    pipeline shape (binary→binary, metadata columns updated) is real."""
-    for magic, mime in MAGIC.items():
-        if data.startswith(magic) and mime.startswith("image/"):
-            return magic + width.to_bytes(2, "big") + \
-                height.to_bytes(2, "big") + data[:64]
-    raise NotImplementedError("not an image payload")
 
 
 def sample_frames_stub(data: bytes, every_n: int = 30,
@@ -97,16 +80,19 @@ def sample_frames_stub(data: bytes, every_n: int = 30,
 def resize_images(df: DataFrame, width: int = 256, height: int = 256,
                   bin_col: str = "payload", url_col: str = "url",
                   ) -> DataFrame:
-    """Batch resize plumbing: binary→binary with typed size metadata."""
+    """Batch resize: decode → vectorized nearest-neighbor resample →
+    re-encode as PPM. Real kernels for PPM/BMP inputs; unsupported
+    formats yield a null row."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for url, data in zip(pdf[url_col], pdf[bin_col]):
                 try:
-                    out = resize_image_stub(bytes(data), width, height)
-                    rows.append((url, out, width, height))
-                except NotImplementedError:
+                    arr = resize_nearest(decode_image(bytes(data)),
+                                         width, height)
+                    rows.append((url, ppm_encode(arr), width, height))
+                except (NotImplementedError, ValueError):
                     rows.append((url, None, None, None))
             yield pd.DataFrame(rows, columns=[
                 "url", "resized", "width", "height"])

@@ -44,6 +44,58 @@ def search_page(df: DataFrame, search: Search,
                 number_returned=len(rows), next_token=nxt, prev_token=prv)
 
 
+CONFORMANCE_CLASSES = [
+    # Conformance::new().ogcapi_features().item_search().filter()
+    # (the classes the reference server advertises when its backend
+    # supports search + filter, crates/server/src/api.rs:145-154)
+    "https://api.stacspec.org/v1.0.0/core",
+    "https://api.stacspec.org/v1.0.0/ogcapi-features",
+    "https://api.stacspec.org/v1.0.0/collections",
+    "https://api.stacspec.org/v1.0.0/item-search",
+    "https://api.stacspec.org/v1.0.0-rc.3/item-search#filter",
+    "http://www.opengis.net/spec/ogcapi-features-1/1.0/conf/core",
+    "http://www.opengis.net/spec/ogcapi-features-1/1.0/conf/geojson",
+]
+
+
+def conformance() -> dict:
+    """The /conformance document (routes.rs:108, api.rs:145-154).
+    Every class is backed: item search by build_plan, filter by the
+    CQL2 compiler."""
+    return {"conformsTo": list(CONFORMANCE_CLASSES)}
+
+
+_SPARK_TO_JSONSCHEMA = {
+    "string": "string", "double": "number", "float": "number",
+    "bigint": "integer", "int": "integer", "smallint": "integer",
+    "tinyint": "integer", "boolean": "boolean",
+}
+
+
+def queryables(df: DataFrame) -> dict:
+    """The /queryables JSON schema (routes.rs:109, api.rs:157-169).
+    The reference punts with an empty `properties` +
+    `additionalProperties: true`; here the scalar item columns are
+    actually advertised with their JSON-schema types, derived from the
+    DataFrame schema (timestamps as RFC3339 strings) — strictly more
+    informative, still spec-shaped."""
+    props = {}
+    for field in df.schema.fields:
+        t = field.dataType.simpleString()
+        if t in _SPARK_TO_JSONSCHEMA:
+            props[field.name] = {"type": _SPARK_TO_JSONSCHEMA[t]}
+        elif t.startswith("timestamp"):
+            props[field.name] = {"type": "string", "format": "date-time"}
+    return {
+        "$schema": "https://json-schema.org/draft/2019-09/schema",
+        "$id": "https://stac-api.example.com/queryables",
+        "type": "object",
+        "title": "Queryables",
+        "properties": props,
+        "additionalProperties": True,
+    }
+
+
 def get_item(df: DataFrame, collection_id: str, item_id: str):
     """Item lookup by (collection, id) — the default trait impl
     `search with both filters, take 1` (core/src/api/client.rs:33-55)."""

@@ -9,10 +9,61 @@ crates/io/src/store.rs:15-62 parses the same scheme set).
 
 from __future__ import annotations
 
+import os
 import posixpath
 import re
 from dataclasses import dataclass
 from urllib.parse import urlparse, urlunparse
+
+# object_store scheme → (Hadoop FS scheme, hadoop conf prefix); the
+# same scheme set parse_href_opts dispatches on (store.rs:26-56)
+_STORE_SCHEMES = {
+    "s3": ("s3a", "fs.s3a"),
+    "s3a": ("s3a", "fs.s3a"),
+    "gs": ("gs", "fs.gs"),
+    "az": ("abfss", "fs.azure"),
+    "abfs": ("abfss", "fs.azure"),
+    "abfss": ("abfss", "fs.azure"),
+    "file": ("file", None),
+    "": ("file", None),
+}
+
+# env vars the reference's from_env() builders honor → hadoop keys
+_S3_ENV = {
+    "AWS_ACCESS_KEY_ID": "fs.s3a.access.key",
+    "AWS_SECRET_ACCESS_KEY": "fs.s3a.secret.key",
+    "AWS_SESSION_TOKEN": "fs.s3a.session.token",
+    "AWS_ENDPOINT_URL": "fs.s3a.endpoint",
+    "AWS_REGION": "fs.s3a.endpoint.region",
+}
+
+
+def configure_object_store(spark, href: str, **options) -> str:
+    """Configure the session's Hadoop FS for the href's scheme and
+    return the href rewritten to the Hadoop scheme (s3://→s3a:// etc.)
+    — the Spark twin of the reference's parse_href_opts
+    (crates/io/src/store.rs:15-62): scheme dispatch, environment
+    credentials, explicit options overriding env.
+
+    Options use the store's native key names (dots allowed) or hadoop
+    keys directly; unknown keys are passed through under the scheme's
+    hadoop prefix.
+    """
+    u = urlparse(href)
+    if u.scheme not in _STORE_SCHEMES:
+        raise ValueError(f"unsupported object-store scheme: {u.scheme!r}")
+    hadoop_scheme, prefix = _STORE_SCHEMES[u.scheme]
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    if prefix == "fs.s3a":
+        for env, key in _S3_ENV.items():
+            if os.environ.get(env):
+                conf.set(key, os.environ[env])
+    for key, value in options.items():
+        full = key if key.startswith("fs.") else f"{prefix}.{key}"
+        conf.set(full, str(value))
+    if u.scheme != hadoop_scheme and u.scheme:
+        href = href.replace(f"{u.scheme}://", f"{hadoop_scheme}://", 1)
+    return href
 
 
 @dataclass(frozen=True)

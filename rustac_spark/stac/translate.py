@@ -164,6 +164,32 @@ def migrate_item(item: dict, to: str = "1.1.0") -> dict:
     return obj
 
 
+def coerce_item_columns(df: DataFrame) -> DataFrame:
+    """Dirty-parquet read-path coercions, the DataFrame twin of the
+    reference's row fixups (crates/core/src/geoarrow/json.rs:539-563):
+
+    - `type` forced to "Feature" when the column exists
+    - non-string `id` cast to its string representation
+    - a stringified `stac_extensions` (e.g. '["a","b"]') re-parsed
+      into array<string>
+
+    Pure Column ops — safe to leave in every read plan (each rule is a
+    no-op when the column already has the right type)."""
+    from pyspark.sql.types import ArrayType, StringType
+    out = df
+    if "type" in out.columns:
+        out = out.withColumn("type", F.lit("Feature"))
+    if "id" in out.columns and \
+            not isinstance(out.schema["id"].dataType, StringType):
+        out = out.withColumn("id", F.col("id").cast("string"))
+    if "stac_extensions" in out.columns and \
+            isinstance(out.schema["stac_extensions"].dataType, StringType):
+        out = out.withColumn(
+            "stac_extensions",
+            F.from_json("stac_extensions", ArrayType(StringType())))
+    return out
+
+
 def read_ndjson_items(spark, path: str) -> DataFrame:
     """NDJSON source (Spark-native JSON reader, schema inferred —
     the analogue of infer_json_schema_from_iterator in

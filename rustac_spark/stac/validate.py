@@ -3,11 +3,16 @@ reference's validator, crates/validate/src/validator.rs:66-164: each
 value is validated against its type+version schema; errors collected,
 not raised).
 
-The reference vendors the full spec schemas (validator.rs:269-403).
-We bundle a minimal-but-faithful subset written from the public STAC
-1.1 spec (required members + type constraints) — enough to catch the
-error classes the reference's own tests exercise — and run `jsonschema`
-batch-wise inside mapInPandas, one compiled validator per executor.
+The reference vendors the full spec schemas and resolves extension
+schemas by URL (validator.rs:269-403, 66-164). We follow the same
+vendoring strategy offline: a faithful subset of the STAC 1.1 core
+schemas (required members, type constraints, common metadata — gsd,
+platform, instruments, bands) plus a registry of vendored extension
+schemas keyed by schema-URL prefix (eo, sat, proj, view), applied to
+every value whose `stac_extensions` lists them. Extension URLs with
+no vendored schema are skipped (the offline analogue of the
+reference's resolver cache miss). `jsonschema` runs batch-wise inside
+mapInPandas, one compiled validator per executor.
 """
 
 from __future__ import annotations
@@ -36,6 +41,21 @@ ITEM_SCHEMA = {
                 "datetime": {"type": ["string", "null"]},
                 "start_datetime": {"type": "string"},
                 "end_datetime": {"type": "string"},
+                # common metadata (STAC 1.1 item spec)
+                "created": {"type": "string"},
+                "updated": {"type": "string"},
+                "platform": {"type": "string"},
+                "constellation": {"type": "string"},
+                "mission": {"type": "string"},
+                "instruments": {"type": "array",
+                                "items": {"type": "string"}},
+                "gsd": {"type": "number", "exclusiveMinimum": 0},
+                # 1.1 bands construct (also valid per asset)
+                "bands": {"type": "array", "items": {
+                    "type": "object",
+                    "properties": {"name": {"type": "string",
+                                            "minLength": 1}},
+                }},
             },
         },
         "links": {"type": "array", "items": {
@@ -90,9 +110,66 @@ COLLECTION_SCHEMA = {
 _SCHEMAS = {"Feature": ITEM_SCHEMA, "Catalog": CATALOG_SCHEMA,
             "Collection": COLLECTION_SCHEMA}
 
+# Vendored extension schemas, keyed by schema-URL prefix — the offline
+# analogue of the reference's schema resolver (validator.rs:269-403).
+# Each constrains the hoisted property namespace of its extension.
+EXTENSION_SCHEMAS: dict[str, dict] = {
+    "https://stac-extensions.github.io/eo/": {
+        "properties": {"properties": {"type": "object", "properties": {
+            "eo:cloud_cover": {"type": "number",
+                               "minimum": 0, "maximum": 100},
+            "eo:snow_cover": {"type": "number",
+                              "minimum": 0, "maximum": 100},
+        }}},
+    },
+    "https://stac-extensions.github.io/sat/": {
+        "properties": {"properties": {"type": "object", "properties": {
+            "sat:relative_orbit": {"type": "integer", "minimum": 1},
+            "sat:absolute_orbit": {"type": "integer", "minimum": 1},
+            "sat:orbit_state": {"enum": ["ascending", "descending",
+                                         "geostationary"]},
+        }}},
+    },
+    "https://stac-extensions.github.io/projection/": {
+        "properties": {"properties": {"type": "object", "properties": {
+            "proj:epsg": {"type": ["integer", "null"]},
+            "proj:code": {"type": ["string", "null"]},
+            "proj:shape": {"type": "array", "minItems": 2, "maxItems": 2,
+                           "items": {"type": "integer"}},
+        }}},
+    },
+    "https://stac-extensions.github.io/view/": {
+        "properties": {"properties": {"type": "object", "properties": {
+            "view:off_nadir": {"type": "number",
+                               "minimum": 0, "maximum": 90},
+            "view:sun_azimuth": {"type": "number",
+                                 "minimum": 0, "maximum": 360},
+        }}},
+    },
+}
+
+
+def _extension_validators(value: dict, jsonschema, _cache={}):
+    """Compiled validators for every listed extension we have a
+    vendored schema for; unknown schema URLs are skipped."""
+    out = []
+    for url in value.get("stac_extensions") or []:
+        if not isinstance(url, str):
+            continue
+        for prefix, schema in EXTENSION_SCHEMAS.items():
+            if url.startswith(prefix):
+                if prefix not in _cache:
+                    _cache[prefix] = \
+                        jsonschema.Draft202012Validator(schema)
+                out.append(_cache[prefix])
+    return out
+
 
 def validate_value(value: dict) -> list[str]:
-    """Driver-side single-value validation → error list (empty = valid)."""
+    """Driver-side single-value validation → error list (empty =
+    valid). Core schema + every resolvable extension schema, the
+    reference's validate-against-all composition
+    (validator.rs:66-164)."""
     import jsonschema
 
     t = value.get("type")
@@ -100,7 +177,10 @@ def validate_value(value: dict) -> list[str]:
     if schema is None:
         return [f"unknown STAC type: {t!r}"]
     v = jsonschema.Draft202012Validator(schema)
-    return [e.message for e in v.iter_errors(value)]
+    errors = [e.message for e in v.iter_errors(value)]
+    for ext in _extension_validators(value, jsonschema):
+        errors.extend(e.message for e in ext.iter_errors(value))
+    return errors
 
 
 def validate_json_column(df: DataFrame, json_col: str = "item_json",
@@ -124,6 +204,10 @@ def validate_json_column(df: DataFrame, json_col: str = "item_json",
                     else:
                         e = [x.message for x in
                              compiled[t].iter_errors(value)]
+                        for ext in _extension_validators(value,
+                                                         jsonschema):
+                            e.extend(x.message
+                                     for x in ext.iter_errors(value))
                 except (json.JSONDecodeError, AttributeError) as exc:
                     e = [f"invalid JSON: {exc}"]
                 ids.append(i)

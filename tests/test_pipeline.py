@@ -50,6 +50,33 @@ def test_pipeline_resume(spark, tmp_path):
                for r in rows)
 
 
+def test_pipeline_hadoop_fs_backend(spark, tmp_path):
+    """Same resume/lineage semantics through the Hadoop FileSystem API
+    (the real-cluster path) — exercised with a file:// URI, which
+    routes through the JVM FS exactly like hdfs:// or s3a:// would."""
+    from rustac_spark.pipeline.lineage import _HadoopFS
+    run_dir = f"file://{tmp_path}/run_hfs"
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(50).withColumn("v", F.col("id") * 3)
+
+    p1 = Pipeline(spark, run_dir, run_id="h1")
+    assert isinstance(p1.fs, _HadoopFS)
+    out1 = p1.stage("s1", build)
+    assert out1.count() == 50 and calls["n"] == 1
+    info = p1.committed_info("s1")
+    assert info["rows"] == 50
+
+    p2 = Pipeline(spark, run_dir, run_id="h2")
+    assert p2.stage("s1", build).count() == 50 and calls["n"] == 1
+
+    m = p1.metrics().where(F.col("stage") == "s1").collect()
+    assert sum(r["row_count"] for r in m) == 50
+    assert all(r["bytes"] > 0 for r in m)
+
+
 def test_salted_join_preserves_multiplicity(spark):
     big = spark.createDataFrame(
         [(f"u{i}", i % 3) for i in range(300)], ["url", "k"])

@@ -38,6 +38,21 @@ def test_collections(stac_items):
     assert t0.startswith("2024-03-26") and t1.startswith("2024-12-03")
 
 
+def test_queryables_and_conformance(stac_items):
+    from rustac_spark.stac.api import conformance, queryables
+    q = queryables(stac_items)
+    assert q["properties"]["id"] == {"type": "string"}
+    assert q["properties"]["eo:cloud_cover"] == {"type": "number"}
+    assert q["properties"]["sat:relative_orbit"] == {"type": "integer"}
+    assert q["properties"]["datetime"] == {"type": "string",
+                                           "format": "date-time"}
+    assert "geometry" not in q["properties"]  # non-scalar: not advertised
+    assert q["additionalProperties"] is True
+    classes = conformance()["conformsTo"]
+    assert "https://api.stacspec.org/v1.0.0/core" in classes
+    assert "https://api.stacspec.org/v1.0.0/item-search" in classes
+
+
 def test_format_inference():
     assert infer_from_href("s3://b/items.parquet").kind == "geoparquet"
     assert infer_from_href("items.ndjson").kind == "ndjson"
@@ -49,6 +64,25 @@ def test_format_inference():
     assert format_from_str("json-pretty").pretty
     with pytest.raises(ValueError):
         format_from_str("xml")
+
+
+def test_configure_object_store(spark, monkeypatch):
+    from rustac_spark.stac.io import configure_object_store
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "AKTEST")
+    monkeypatch.setenv("AWS_REGION", "eu-central-1")
+    href = configure_object_store(
+        spark, "s3://bucket/items.parquet",
+        **{"connection.maximum": 64, "fs.s3a.path.style.access": "true"})
+    assert href == "s3a://bucket/items.parquet"
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert conf.get("fs.s3a.access.key") == "AKTEST"
+    assert conf.get("fs.s3a.endpoint.region") == "eu-central-1"
+    assert conf.get("fs.s3a.connection.maximum") == "64"
+    assert conf.get("fs.s3a.path.style.access") == "true"
+    assert configure_object_store(spark, "az://acct/container/x") \
+        == "abfss://acct/container/x"
+    with pytest.raises(ValueError):
+        configure_object_store(spark, "ftp://nope/x")
 
 
 def test_hrefs():

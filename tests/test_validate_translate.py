@@ -58,6 +58,38 @@ def test_validate_catches_errors():
     assert validate_value({"type": "Nope"})
 
 
+def test_validate_common_metadata_and_extensions():
+    base = json.loads(json.dumps(GOOD_ITEM))
+    base["properties"]["gsd"] = -1.0
+    assert any("gsd" in e or "-1" in e for e in validate_value(base))
+    base = json.loads(json.dumps(GOOD_ITEM))
+    base["properties"]["instruments"] = "oli"  # must be array<string>
+    assert validate_value(base)
+    base = json.loads(json.dumps(GOOD_ITEM))
+    base["properties"]["bands"] = [{"name": ""}]
+    assert validate_value(base)
+    # extension schema: eo cloud cover out of range only flags when the
+    # extension is declared (resolver semantics)
+    bad_cc = json.loads(json.dumps(GOOD_ITEM))
+    bad_cc["properties"]["eo:cloud_cover"] = 150
+    assert validate_value(bad_cc) == []  # eo not declared → unchecked
+    bad_cc["stac_extensions"] = [
+        "https://stac-extensions.github.io/eo/v1.1.0/schema.json"]
+    assert validate_value(bad_cc)
+    bad_cc["properties"]["eo:cloud_cover"] = 50
+    assert validate_value(bad_cc) == []
+    # sat extension
+    sat = json.loads(json.dumps(GOOD_ITEM))
+    sat["stac_extensions"] = [
+        "https://stac-extensions.github.io/sat/v1.0.0/schema.json"]
+    sat["properties"]["sat:orbit_state"] = "sideways"
+    assert validate_value(sat)
+    # unknown extension URL: skipped, not an error
+    unk = json.loads(json.dumps(GOOD_ITEM))
+    unk["stac_extensions"] = ["https://example.com/custom/v9/schema.json"]
+    assert validate_value(unk) == []
+
+
 def test_validate_distributed(spark):
     rows = [("a", json.dumps(GOOD_ITEM)),
             ("b", json.dumps(dict(GOOD_ITEM, type="Wrong"))),
@@ -146,6 +178,25 @@ def test_migrate_item_bands():
     # input not mutated
     assert item["stac_version"] == "1.0.0"
     assert "eo:bands" in item["assets"]["data"]
+
+
+def test_coerce_item_columns(spark):
+    from rustac_spark.stac.translate import coerce_item_columns
+    df = spark.createDataFrame(
+        [(42, '["https://stac-extensions.github.io/eo/v1.1.0/schema.json"]',
+          "NotFeature")],
+        "id bigint, stac_extensions string, type string")
+    out = coerce_item_columns(df).collect()[0]
+    assert out["id"] == "42"
+    assert list(out["stac_extensions"]) == [
+        "https://stac-extensions.github.io/eo/v1.1.0/schema.json"]
+    assert out["type"] == "Feature"
+    # already-clean frame is untouched
+    clean = spark.createDataFrame(
+        [("a", ["x"], "Feature")],
+        "id string, stac_extensions array<string>, type string")
+    got = coerce_item_columns(clean).collect()[0]
+    assert got["id"] == "a" and list(got["stac_extensions"]) == ["x"]
 
 
 def test_migrate_item_no_version_skips():
