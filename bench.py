@@ -72,13 +72,13 @@ def main() -> None:
     spark = get_spark(f"bench-{sf}-{cpus}", master=f"local[{cpus}]",
                       shuffle_partitions=2 * cpus,
                       extra={
-                          # measured on this host: Janino/JIT compilation
-                          # of generated code causes 5-30s random stalls
-                          # on short stages (compile cost >> row cost at
-                          # bench scale; it amortizes on real 100TB
-                          # scans). Interpreted mode is stable and
-                          # faster here.
-                          "spark.sql.codegen.wholeStage": "false",
+                          # round-1 measured Janino-compile stalls and
+                          # disabled codegen; round-2 re-validation shows
+                          # ON ≥ OFF within noise (BENCH/BASELINE.md
+                          # table), so the bench now runs the production
+                          # default. Knob kept for per-round re-checks.
+                          "spark.sql.codegen.wholeStage":
+                              os.environ.get("RUSTAC_CODEGEN", "true"),
                           # small input files need small split sizes for
                           # full parallelism; ~4 tasks/core smooths the
                           # straggler tail from hot-domain candidate skew

@@ -119,8 +119,12 @@ def cover_bbox(xmin: Column, ymin: Column, xmax: Column, ymax: Column,
         overlap = (cx0 <= cx1) & (cy0 <= cy1)
         # half-open face edges: a rect ending exactly at a face's lower
         # boundary belongs to the neighbor only, except the world edge
+        # (face 3 closes at the antimeridian, mirroring _face_cond — a
+        # degenerate rect at lon=180 must cover the cell its point is in)
         if face < 4:
-            overlap = overlap & (xmin < F.lit(lon1)) & (ymin < F.lit(45.0)) \
+            lon_hi = (xmin <= F.lit(lon1)) if face == 3 \
+                else (xmin < F.lit(lon1))
+            overlap = overlap & lon_hi & (ymin < F.lit(45.0)) \
                 & (ymax >= F.lit(-45.0)) & (xmax >= F.lit(lon0))
         elif face == 4:
             overlap = overlap & (ymax >= F.lit(45.0))

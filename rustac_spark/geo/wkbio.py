@@ -202,6 +202,8 @@ def geometry_pieces(parsed):
 def wkb_bounds(buf: bytes):
     """(xmin, ymin, xmax, ymax) of any supported WKB geometry."""
     pieces = geometry_pieces(parse_wkb(buf))
+    if not pieces:
+        raise ValueError("empty geometry has no bounds")
     xs0, ys0, xs1, ys1 = [], [], [], []
     for kind, data in pieces:
         if kind == "point":

@@ -93,8 +93,11 @@ class _HadoopFS:
         finally:
             stream.close()
         # HDFS rename is atomic; object stores give copy+delete, which
-        # is still safe here because markers are write-once
-        self._fs.rename(self._p(tmp), self._p(path))
+        # is still safe here because markers are write-once. rename()
+        # reports failure via its return value, not an exception
+        if not self._fs.rename(self._p(tmp), self._p(path)):
+            self._fs.delete(self._p(tmp), False)
+            raise IOError(f"commit-marker rename failed: {tmp} -> {path}")
 
     def read_text(self, path: str) -> str:
         stream = self._fs.open(self._p(path))

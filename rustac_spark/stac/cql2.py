@@ -35,7 +35,8 @@ from typing import Any
 
 from pyspark.sql import functions as F
 
-from ..geo.predicates import is_axis_aligned_rect_ring, rects_intersect_pieces
+from ..geo.colpreds import bbox_overlap_col, pieces_column_pred
+from ..geo.predicates import rects_intersect_pieces
 from ..geo.wkbio import (bbox_polygon_wkb, geojson_to_wkb, geometry_pieces,
                          linestring_wkb, multilinestring_wkb, multipoint_wkb,
                          multipolygon_wkb, parse_wkb, point_wkb, polygon_wkb,
@@ -423,40 +424,12 @@ def _col(name: str):
     return F.col(f"`{name}`") if ("." in name or ":" in name) else F.col(name)
 
 
-def _bbox_overlap_col(xmin, ymin, xmax, ymax):
-    """Inclusive rect-overlap vs the engine's bbox struct columns
-    (the covering index every item table carries)."""
-    return ((F.col("bbox.xmin") <= F.lit(xmax))
-            & (F.col("bbox.xmax") >= F.lit(xmin))
-            & (F.col("bbox.ymin") <= F.lit(ymax))
-            & (F.col("bbox.ymax") >= F.lit(ymin)))
-
-
 def _s_intersects_column(geom: Geom):
     """Pure-Column s_intersects for point / axis-aligned-rect literals
-    (valid anywhere in the boolean tree). Returns None when the
-    geometry needs the exact refine kernel."""
-    pieces = geometry_pieces(parse_wkb(geom.wkb))
-    cols = []
-    for kind, data in pieces:
-        if kind == "point":
-            x, y = data
-            cols.append((F.col("bbox.xmin") <= F.lit(x))
-                        & (F.col("bbox.xmax") >= F.lit(x))
-                        & (F.col("bbox.ymin") <= F.lit(y))
-                        & (F.col("bbox.ymax") >= F.lit(y)))
-        elif kind == "poly" and len(data) == 1 \
-                and is_axis_aligned_rect_ring(data[0]):
-            r = data[0]
-            cols.append(_bbox_overlap_col(
-                float(r[:, 0].min()), float(r[:, 1].min()),
-                float(r[:, 0].max()), float(r[:, 1].max())))
-        else:
-            return None
-    out = cols[0]
-    for c in cols[1:]:
-        out = out | c
-    return out
+    (valid anywhere in the boolean tree) — shared fast path in
+    geo/colpreds. Returns None when the geometry needs the exact
+    refine kernel; an empty geometry compiles to constant false."""
+    return pieces_column_pred(geometry_pieces(parse_wkb(geom.wkb)))
 
 
 def to_column(ast):
@@ -576,10 +549,14 @@ def evaluate(ast, item: dict):
             lit_wkb = bytes(lit)
         if isinstance(geom_val, dict):
             geom_val = geojson_to_wkb(geom_val)
+        pieces = geometry_pieces(parse_wkb(lit_wkb))
+        # empty geometries (GeoJSON-legal empty collections) intersect
+        # nothing, on either side
+        if not pieces or not geometry_pieces(parse_wkb(bytes(geom_val))):
+            return False
         # item side evaluated on its bounding box — the same covering
         # discipline the Column path uses (bbox struct ≙ the item)
         gx0, gy0, gx1, gy1 = wkb_bounds(bytes(geom_val))
-        pieces = geometry_pieces(parse_wkb(lit_wkb))
         return bool(rects_intersect_pieces(
             np.array([gx0]), np.array([gy0]),
             np.array([gx1]), np.array([gy1]), pieces)[0])
@@ -647,7 +624,7 @@ def compile_filter(filt, columns: list[str]):
                 and _s_intersects_column(conj.args[1]) is None):
             # general geometry: bbox prefilter now, exact refine later
             pieces = geometry_pieces(parse_wkb(conj.args[1].wkb))
-            c = _bbox_overlap_col(*wkb_bounds(conj.args[1].wkb))
+            c = bbox_overlap_col(*wkb_bounds(conj.args[1].wkb))
             refines.append(pieces)
         else:
             c = to_column(conj)

@@ -59,7 +59,14 @@ def configure_object_store(spark, href: str, **options) -> str:
             if os.environ.get(env):
                 conf.set(key, os.environ[env])
     for key, value in options.items():
-        full = key if key.startswith("fs.") else f"{prefix}.{key}"
+        if key.startswith("fs."):
+            full = key
+        elif prefix is None:
+            raise ValueError(
+                f"option {key!r} has no namespace for scheme "
+                f"{u.scheme or 'file'!r}; pass a fully-qualified fs.* key")
+        else:
+            full = f"{prefix}.{key}"
         conf.set(full, str(value))
     if u.scheme != hadoop_scheme and u.scheme:
         href = href.replace(f"{u.scheme}://", f"{hadoop_scheme}://", 1)

@@ -40,8 +40,9 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from ..geo.predicates import (is_axis_aligned_rect_ring,
-                              rects_intersect_pieces)
+from ..geo.colpreds import (bbox_overlap_col, pieces_column_pred,
+                            point_in_bbox_col)
+from ..geo.predicates import rects_intersect_pieces
 from ..geo.wkbio import geojson_to_wkb, geometry_pieces, parse_wkb, wkb_bounds
 from . import cql2
 from .datetime_parse import parse_interval
@@ -140,19 +141,9 @@ def _geojson_to_wkb(g: dict) -> bytes:
         raise SearchValidationError(str(e)) from e
 
 
-def _bbox_overlap(qxmin, qymin, qxmax, qymax):
-    """Inclusive rect-overlap vs the item bbox struct columns.
-    NULL bbox ⇒ NULL ⇒ filtered (matches null-geometry-never-matches,
-    item.rs:461-467)."""
-    return ((F.col("bbox.xmin") <= F.lit(qxmax))
-            & (F.col("bbox.xmax") >= F.lit(qxmin))
-            & (F.col("bbox.ymin") <= F.lit(qymax))
-            & (F.col("bbox.ymax") >= F.lit(qymin)))
-
-
-def _point_in_bbox(x, y):
-    return ((F.col("bbox.xmin") <= F.lit(x)) & (F.col("bbox.xmax") >= F.lit(x))
-            & (F.col("bbox.ymin") <= F.lit(y)) & (F.col("bbox.ymax") >= F.lit(y)))
+# shared pushdown-friendly bbox predicates live in geo/colpreds
+_bbox_overlap = bbox_overlap_col
+_point_in_bbox = point_in_bbox_col
 
 
 def _geometry_refine(df: DataFrame, pieces: list) -> DataFrame:
@@ -180,28 +171,7 @@ def _geometry_refine(df: DataFrame, pieces: list) -> DataFrame:
     return df.mapInPandas(refine, schema=schema)
 
 
-def _pieces_column_pred(pieces: list):
-    """Pure-Column fast path for an intersects geometry: OR of
-    point-in-bbox / rect-overlap predicates. Returns None when any
-    piece needs the exact refine kernel (non-rectangular polygon or a
-    line)."""
-    cols = []
-    for kind, data in pieces:
-        if kind == "point":
-            cols.append(_point_in_bbox(*data))
-        elif kind == "poly" and len(data) == 1 \
-                and is_axis_aligned_rect_ring(data[0]):
-            r = data[0]
-            cols.append(_bbox_overlap(float(r[:, 0].min()),
-                                      float(r[:, 1].min()),
-                                      float(r[:, 0].max()),
-                                      float(r[:, 1].max())))
-        else:
-            return None
-    out = cols[0]
-    for c in cols[1:]:
-        out = out | c
-    return out
+_pieces_column_pred = pieces_column_pred
 
 
 def build_plan(df: DataFrame, search: Search) -> DataFrame:

@@ -114,7 +114,8 @@ def _migrate_bands(asset: dict) -> None:
             values.setdefault(enc, value)
             counts.setdefault(key, Counter())[enc] += 1
     for key, count in counts.items():
-        enc, n = max(count.items(), key=lambda kv: (kv[1], kv[0]))
+        n = max(count.values())
+        enc = min(e for e, c in count.items() if c == n)
         if n > 1:
             value = values[enc]
             for band in bands:

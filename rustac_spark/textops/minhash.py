@@ -125,7 +125,11 @@ def near_dup_pairs(df: DataFrame, text_col: str = "text",
     exact-Jaccard verify operate on that compact (id, sig, sh) table —
     at 100 TB the verify joins shuffle shingle-hash arrays, never the
     corpus. `persist` keeps the one Python pass from re-running for
-    the candidate and verify branches."""
+    the candidate and verify branches; the cached (id, sig, sh) table
+    stays pinned for the session (Spark evicts LRU under pressure) —
+    callers invoking this repeatedly in one long-lived session should
+    pass persist=False or persist the input themselves and unpersist
+    when done."""
     sigs = with_signatures(df, text_col, id_col, k, n,
                            include_shingles=True)
     if persist:

@@ -25,14 +25,12 @@ from pyspark.sql import DataFrame, functions as F
 
 _BIT_SHIFTS = np.arange(64, dtype=np.uint64)
 
+# bound on the (tokens × 64) int8 vote matrix per chunk (~64 MB) so a
+# batch of very long documents can't blow executor memory
+_CHUNK_TOKENS = 1_000_000
 
-def simhash_batch(texts) -> np.ndarray:
-    """Vectorized 64-bit simhash of a sequence of texts → uint64[n].
 
-    One hash_array call for every token in the batch, one reduceat for
-    the per-doc bit-vote sums.
-    """
-    tok_lists = [(t or "").lower().split() for t in texts]
+def _simhash_chunk(tok_lists: list[list[str]]) -> np.ndarray:
     lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
                        count=len(tok_lists))
     out = np.zeros(len(tok_lists), dtype=np.uint64)
@@ -45,16 +43,39 @@ def simhash_batch(texts) -> np.ndarray:
         flat[pos:pos + len(toks)] = toks
         pos += len(toks)
     h = pd.util.hash_array(flat, categorize=True)  # uint64, vectorized
-    # (total, 64) ±1 votes; int8 keeps the matrix small
+    # (total, 64) ±1 votes; int8 keeps the matrix small; reduceat
+    # accumulates straight into int32 (no materialized int32 copy)
     votes = (((h[:, None] >> _BIT_SHIFTS[None, :]) & 1)
              .astype(np.int8) * 2 - 1)
     nonempty = lens > 0
     offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
     np.cumsum(lens[nonempty][:-1], out=offsets[1:])
-    acc = np.add.reduceat(votes.astype(np.int32), offsets, axis=0)
+    acc = np.add.reduceat(votes, offsets, axis=0, dtype=np.int32)
     bits = (acc > 0).astype(np.uint64)
     prints = (bits << _BIT_SHIFTS[None, :]).sum(axis=1, dtype=np.uint64)
     out[nonempty] = prints
+    return out
+
+
+def simhash_batch(texts) -> np.ndarray:
+    """Vectorized 64-bit simhash of a sequence of texts → uint64[n].
+
+    One hash_array call for every token in a chunk, one reduceat for
+    the per-doc bit-vote sums; chunks are bounded at _CHUNK_TOKENS
+    tokens so peak memory stays ~64 MB regardless of document length.
+    """
+    tok_lists = [(t or "").lower().split() for t in texts]
+    n = len(tok_lists)
+    out = np.zeros(n, dtype=np.uint64)
+    start = 0
+    while start < n:
+        end, tok = start, 0
+        while end < n and (tok == 0
+                           or tok + len(tok_lists[end]) <= _CHUNK_TOKENS):
+            tok += len(tok_lists[end])
+            end += 1
+        out[start:end] = _simhash_chunk(tok_lists[start:end])
+        start = end
     return out
 
 

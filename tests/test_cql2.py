@@ -146,6 +146,22 @@ def test_s_intersects_column_compile(spark):
             ["id", "geometry", "bbox"])
 
 
+def test_s_intersects_empty_geometry(spark):
+    # empty GeometryCollection literal compiles to constant false
+    col, short, refines = compile_filter(
+        {"op": "s_intersects", "args": [
+            {"property": "geometry"},
+            {"type": "GeometryCollection", "geometries": []}]},
+        ["id", "geometry", "bbox"])
+    assert not short and col is not None and refines == []
+    from rustac_spark.geo.wkbio import bbox_polygon_wkb
+    from rustac_spark.stac.cql2 import evaluate
+    ast = parse({"op": "s_intersects", "args": [
+        {"property": "geometry"},
+        {"type": "GeometryCollection", "geometries": []}]})
+    assert evaluate(ast, {"geometry": bbox_polygon_wkb(0, 0, 1, 1)}) is False
+
+
 def test_s_intersects_evaluate():
     from rustac_spark.geo.wkbio import bbox_polygon_wkb
     from rustac_spark.stac.cql2 import evaluate

@@ -43,7 +43,8 @@ def _cover_py(xmin, ymin, xmax, ymax, level):
         cy0, cy1 = max(ymin, lat0), min(ymax, lat1)
         if cx0 > cx1 or cy0 > cy1:
             continue
-        if face < 4 and not (xmin < lon1 and xmax >= lon0
+        lon_hi_ok = (xmin <= lon1) if face == 3 else (xmin < lon1)
+        if face < 4 and not (lon_hi_ok and xmax >= lon0
                              and ymin < 45.0 and ymax >= -45.0):
             continue
         if face == 4 and not ymax >= 45.0:
@@ -84,6 +85,9 @@ def test_cover_bbox_matches_python_oracle(spark, level):
         (-10.0, 43.0, 10.0, 47.0),         # equatorial + polar at lat=45
         (170.0, -50.0, 180.0, 50.0),       # 4 faces at the antimeridian
         (-180.0, 80.0, 180.0, 90.0),       # polar cap band
+        (180.0, 0.0, 180.0, 0.0),          # degenerate point ON the
+                                           # antimeridian (world edge)
+        (179.5, -0.5, 180.0, 0.5),         # rect closing at lon=180
     ]
     df = spark.createDataFrame(rects, ["xmin", "ymin", "xmax", "ymax"])
     got = [sorted(r["cs"]) for r in df.select(

@@ -74,6 +74,12 @@ def test_intersects_geometrycollection(stac_items):
     assert run(stac_items, intersects=gc).count() == 50
 
 
+def test_intersects_empty_geometrycollection(stac_items):
+    # GeoJSON-legal empty collection intersects nothing (no crash)
+    gc = {"type": "GeometryCollection", "geometries": []}
+    assert run(stac_items, intersects=gc).count() == 0
+
+
 def test_cql2_s_intersects_filter(stac_items):
     assert run(stac_items,
                filter="s_intersects(geometry, "
