@@ -56,6 +56,79 @@ def windowed_lang_counts(prepared: DataFrame,
                     "lang", "n_pages"))
 
 
+SESSION_OUT_SCHEMA = ("user_id long, session_start timestamp, "
+                      "session_end timestamp, n_events long, "
+                      "sum_value double")
+# open-session state: epoch-second bounds + running count/sum
+SESSION_STATE_SCHEMA = "start long, end long, n long, s double"
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
+                      watermark: str = "1 hour",
+                      user_col: str = "user_id",
+                      ts_col: str = "ts") -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization
+    with applyInPandasWithState (the batch twin is events.sessionize —
+    same gap rule, same aggregates).
+
+    Per-user GroupState holds the open session (start, end, n, sum).
+    Events extend it or close it (gap > gap_minutes); a closed session
+    is emitted immediately, and the trailing open session is emitted
+    by an event-time timeout once the watermark passes its end + gap —
+    so every session is emitted exactly once, late events within the
+    watermark merge correctly, and state is O(users), not O(events).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_s = gap_minutes * 60
+
+    def fn(key, pdfs, state: GroupState):
+        user = key[0]
+        closed = []
+        if state.hasTimedOut:
+            st, en, n, s = state.get
+            closed.append((user, st, en, n, s))
+            state.remove()
+        else:
+            parts = [pdf for pdf in pdfs if len(pdf)]
+            if parts:
+                df = pd.concat(parts).sort_values(ts_col)
+                secs = (df[ts_col].astype("int64") // 1_000_000_000).to_numpy()
+                vals = df["value"].to_numpy()
+                if state.exists:
+                    st, en, n, s = state.get
+                else:
+                    st, en, n, s = None, 0, 0, 0.0
+                for t, v in zip(secs, vals):
+                    t = int(t)
+                    if st is None:
+                        st, en, n, s = t, t, 1, float(v)
+                    elif t - en > gap_s:
+                        closed.append((user, st, en, n, s))
+                        st, en, n, s = t, t, 1, float(v)
+                    else:
+                        en, n, s = max(en, t), n + 1, s + float(v)
+                state.update((st, en, n, float(s)))
+                # emit the open session when the watermark passes its
+                # quiet period (ms — GroupState event-time timeout unit)
+                state.setTimeoutTimestamp((en + gap_s) * 1000)
+        out = pd.DataFrame(
+            closed, columns=["user_id", "_st", "_en", "n_events",
+                             "sum_value"])
+        out["session_start"] = pd.to_datetime(out["_st"], unit="s")
+        out["session_end"] = pd.to_datetime(out["_en"], unit="s")
+        yield out[["user_id", "session_start", "session_end",
+                   "n_events", "sum_value"]]
+
+    return (events
+            .withWatermark(ts_col, watermark)
+            .groupBy(user_col)
+            .applyInPandasWithState(
+                fn, SESSION_OUT_SCHEMA, SESSION_STATE_SCHEMA,
+                "append", GroupStateTimeout.EventTimeTimeout))
+
+
 def run_to_sink(agg: DataFrame, out_dir: str, checkpoint_dir: str,
                 once: bool = True):
     """Start the query (availableNow semantics for tests/backfills:

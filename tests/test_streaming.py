@@ -80,3 +80,67 @@ def test_streaming_ingest_and_windows(spark, tmp_path):
     for (ws, lang), v in batch_win.items():
         if ws < horizon:
             assert (ws, lang) in emitted
+
+
+def test_sessionize_stream_stateful(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): gap
+    sessionization with per-user GroupState + event-time timeout.
+    Three ordered file drops -> closed sessions emit exactly once;
+    the still-open tail stays in state (append contract)."""
+    import time
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from rustac_spark.streaming import sessionize_stream
+
+    indir = str(tmp_path / "ev_in")
+    out = str(tmp_path / "ev_out")
+    ckpt = str(tmp_path / "ev_ckpt")
+    os.makedirs(indir)
+
+    schema = pa.schema([("user_id", pa.int64()),
+                        ("ts", pa.timestamp("us", tz="UTC")),
+                        ("value", pa.float64())])
+
+    def drop(name, rows, mtime):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"], utc=True)
+        pq.write_table(pa.Table.from_pandas(pdf, schema=schema),
+                       f"{indir}/{name}")
+        os.utime(f"{indir}/{name}", (mtime, mtime))
+
+    t0 = time.time() - 1000
+    # session A: user 1, two events 5 min apart; user 2: one event
+    drop("f1.parquet", [(1, "2024-01-01 10:00:00", 1.0),
+                        (1, "2024-01-01 10:05:00", 2.0),
+                        (2, "2024-01-01 10:00:00", 5.0)], t0)
+    # 4h55 gap closes session A in-batch and opens session B
+    drop("f2.parquet", [(1, "2024-01-01 15:00:00", 3.0)], t0 + 10)
+    # far-future event advances the watermark past user 2's quiet
+    # period -> its open session times out and emits
+    drop("f3.parquet", [(99, "2024-01-02 09:00:00", 0.0)], t0 + 20)
+
+    from pyspark.sql import functions as F  # noqa: F811
+    events = (spark.readStream
+              .schema("user_id long, ts timestamp, value double")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(indir))
+    sess = sessionize_stream(events, gap_minutes=30,
+                             watermark="10 minutes")
+    q = (sess.writeStream.outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .format("parquet").option("path", out)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {(r["user_id"], str(r["session_start"]), str(r["session_end"]),
+            r["n_events"], r["sum_value"])
+           for r in spark.read.parquet(out).collect()}
+    # exactly-once: session A closed by the in-batch gap; user 2 and
+    # user 1's session B closed by event-time timeout once the f3
+    # watermark passed their quiet periods; user 99 stays open in state
+    assert got == {
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:05:00", 2, 3.0),
+        (1, "2024-01-01 15:00:00", "2024-01-01 15:00:00", 1, 3.0),
+        (2, "2024-01-01 10:00:00", "2024-01-01 10:00:00", 1, 5.0),
+    }
