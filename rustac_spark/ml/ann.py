@@ -103,34 +103,79 @@ def knn_lsh(vectors: DataFrame, queries: DataFrame, k: int = 5,
             .select(qid_col, "rank", id_col, "cosine_sim"))
 
 
+def _assign_centroids(vcol, cents: np.ndarray, n_best: int):
+    """Top-n_best centroid ids by dot product — pure Column."""
+    scores = F.array(*[
+        F.struct(
+            F.aggregate(
+                F.zip_with(vcol,
+                           F.array(*[F.lit(float(x)) for x in c]),
+                           lambda a, b: a * b),
+                F.lit(0.0), lambda acc, v: acc + v).alias("s"),
+            F.lit(i).alias("c"))
+        for i, c in enumerate(cents)])
+    ranked = F.reverse(F.array_sort(scores))
+    return F.transform(F.slice(ranked, 1, n_best), lambda x: x["c"])
+
+
+def kmeans_centroids(vectors: DataFrame, n_centroids: int, dim: int,
+                     iters: int = 5, vec_col: str = "embedding",
+                     ) -> np.ndarray:
+    """Distributed spherical k-means (Lloyd): each iteration is ONE
+    narrow pass over the data — assignment is pure Column math, the
+    update collects only (n_centroids × dim) sums to the driver. At
+    10^12 rows you would fit on a sample first; the per-iteration
+    shape here (scan + map-side-combined agg + tiny collect) is the
+    cluster-scale one. Deterministic init from the sha256 planes."""
+    cents = _hyperplanes(dim, n_centroids)
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    v = vectors.select(_as_double(F.col(vec_col)).alias("v"))
+    for _ in range(iters):
+        assigned = v.withColumn(
+            "c", F.element_at(_assign_centroids(F.col("v"), cents, 1), 1))
+        rows = (assigned.groupBy("c")
+                .agg(F.count("*").alias("n"),
+                     *[F.sum(F.element_at("v", i + 1)).alias(f"s{i}")
+                       for i in range(dim)])
+                .collect())
+        new = cents.copy()
+        for r in rows:
+            mean = np.array([r[f"s{i}"] for i in range(dim)]) / r["n"]
+            norm = np.linalg.norm(mean)
+            if norm > 0:
+                new[r["c"]] = mean / norm
+        cents = new
+    return cents
+
+
 def knn_ivf(vectors: DataFrame, queries: DataFrame, k: int = 5,
             n_centroids: int = 16, n_probe: int = 3, dim: int = 64,
+            kmeans_iters: int = 0,
+            centroids: np.ndarray | None = None,
             id_col: str = "vec_id", vec_col: str = "embedding",
             qid_col: str = "query_id", qvec_col: str = "qvec") -> DataFrame:
     """IVF-flat approximate top-k: vectors are assigned to their
-    nearest coarse centroid (deterministic pseudo-random centroids —
-    a stand-in for a k-means pass, which at 10^12 rows would be a
-    sampled fit); queries probe their n_probe nearest centroid lists.
+    nearest coarse centroid; queries probe their n_probe nearest
+    centroid lists.
+
+    Centroids: pass `centroids`, or set `kmeans_iters > 0` to fit
+    spherical k-means on the vector table (kmeans_centroids), or leave
+    both unset for the deterministic pseudo-random fallback.
 
     Scale shape: the inverted-list assignment is one narrow pass;
     the search touches ~n_probe/n_centroids of the data. Recall vs the
     exact baseline is asserted in tests.
     """
-    cents = _hyperplanes(dim, n_centroids)  # rows ≈ random unit-ish dirs
+    if centroids is not None:
+        cents = centroids
+    elif kmeans_iters > 0:
+        cents = kmeans_centroids(vectors, n_centroids, dim,
+                                 iters=kmeans_iters, vec_col=vec_col)
+    else:
+        cents = _hyperplanes(dim, n_centroids)  # rows ≈ random unit dirs
 
     def _assign(vcol, n_best: int):
-        """Top-n_best centroid ids by dot product — pure Column."""
-        scores = F.array(*[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(vcol,
-                               F.array(*[F.lit(float(x)) for x in c]),
-                               lambda a, b: a * b),
-                    F.lit(0.0), lambda acc, v: acc + v).alias("s"),
-                F.lit(i).alias("c"))
-            for i, c in enumerate(cents)])
-        ranked = F.reverse(F.array_sort(scores))
-        return F.transform(F.slice(ranked, 1, n_best), lambda x: x["c"])
+        return _assign_centroids(vcol, cents, n_best)
 
     v = vectors.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
     v = v.withColumn("centroid", F.element_at(_assign(F.col("v"), 1), 1))

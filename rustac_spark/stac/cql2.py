@@ -7,7 +7,8 @@ crates/duckdb/src/client.rs:386-394):
 - Expr variants supported: Property, Float, Literal(str), Bool,
   Timestamp, Date, Array, Operation{op,args}
   (crates/core/src/api/filter.rs:11-70).
-- Operators: = <> < <= > >= ; and/or/not ; IS [NOT] NULL ;
+- Operators: = <> < <= > >= ; arithmetic + - * / % (standard
+  precedence, infix-aware minus) ; and/or/not ; IS [NOT] NULL ;
   [NOT] IN ; [NOT] LIKE ; BETWEEN ; casei() → lower() ;
   t_before/t_after (strict < / > on instants) / t_intersects ;
   s_intersects(geometry, <WKT | BBOX(...) | GeoJSON dict>) — the
@@ -80,7 +81,7 @@ _TOKEN = re.compile(r"""
       (?P<string>'(?:[^']|'')*')
     | (?P<number>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
     | (?P<ident>[A-Za-z_][A-Za-z0-9_:.]*|"[^"]+")
-    | (?P<op><>|<=|>=|=|<|>)
+    | (?P<op><>|<=|>=|=|<|>|[+\-*/%])
     | (?P<punct>[(),])
     )""", re.VERBOSE)
 
@@ -108,6 +109,12 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
         for kind in ("string", "number", "ident", "op", "punct"):
             v = m.group(kind)
             if v is not None:
+                if kind == "number" and v.startswith("-") and out and (
+                        out[-1][0] in ("ident", "number", "string")
+                        or out[-1] == ("punct", ")")):
+                    # infix context: "-5" after an operand is minus + 5
+                    out.append(("op", "-"))
+                    v = v[1:]
                 if kind == "ident" and v.lower() in _KEYWORDS:
                     out.append(("kw", v.lower()))
                 else:
@@ -165,12 +172,28 @@ class _Parser:
             return Op("not", [self.not_expr()])
         return self.comparison()
 
+    def arith(self):
+        """Additive level: term (('+'|'-') term)*."""
+        e = self.term()
+        while self.peek() in (("op", "+"), ("op", "-")):
+            _, op = self.next()
+            e = Op(op, [e, self.term()])
+        return e
+
+    def term(self):
+        """Multiplicative level: primary (('*'|'/'|'%') primary)*."""
+        e = self.primary()
+        while self.peek() in (("op", "*"), ("op", "/"), ("op", "%")):
+            _, op = self.next()
+            e = Op(op, [e, self.primary()])
+        return e
+
     def comparison(self):
-        left = self.primary()
+        left = self.arith()
         k, v = self.peek()
         if k == "op":
             self.next()
-            return Op(v, [left, self.primary()])
+            return Op(v, [left, self.arith()])
         if k == "kw" and v == "is":
             self.next()
             negate = False
@@ -188,10 +211,10 @@ class _Parser:
         if k == "kw" and v == "in":
             self.next()
             self.expect("punct", "(")
-            vals = [self.primary()]
+            vals = [self.arith()]
             while self.peek() == ("punct", ","):
                 self.next()
-                vals.append(self.primary())
+                vals.append(self.arith())
             self.expect("punct", ")")
             e = Op("in", [left, vals])
         elif k == "kw" and v == "like":
@@ -199,9 +222,9 @@ class _Parser:
             e = Op("like", [left, self.primary()])
         elif k == "kw" and v == "between":
             self.next()
-            lo = self.primary()
+            lo = self.arith()
             self.expect("kw", "and")
-            hi = self.primary()
+            hi = self.arith()
             e = Op("between", [left, lo, hi])
         else:
             if negate:
@@ -255,6 +278,11 @@ class _Parser:
 
     def _num(self) -> float:
         k, v = self.next()
+        if (k, v) == ("op", "-"):
+            # the infix-minus tokenizer split doesn't apply inside WKT
+            # coordinate lists ("... 39, -105 39 ..."): re-join here
+            k, v = self.next()
+            v = "-" + v
         if k != "number":
             raise Cql2Error(f"cql2-text: expected number in WKT, got {v!r}")
         return float(v)
@@ -355,7 +383,8 @@ def parse_text(text: str):
 
 _JSON_OPS = {"=", "<>", "<", "<=", ">", ">=", "and", "or", "not",
              "isNull", "in", "like", "between", "casei",
-             "t_before", "t_after", "t_intersects", "s_intersects"}
+             "t_before", "t_after", "t_intersects", "s_intersects",
+             "+", "-", "*", "/", "%"}
 
 _GEOJSON_TYPES = {"Point", "LineString", "Polygon", "MultiPoint",
                   "MultiLineString", "MultiPolygon", "GeometryCollection"}
@@ -450,6 +479,16 @@ def to_column(ast):
             return to_column(a[0]) == to_column(a[1])
         if op == "<>":
             return to_column(a[0]) != to_column(a[1])
+        if op == "+":
+            return to_column(a[0]) + to_column(a[1])
+        if op == "-":
+            return to_column(a[0]) - to_column(a[1])
+        if op == "*":
+            return to_column(a[0]) * to_column(a[1])
+        if op == "/":
+            return to_column(a[0]) / to_column(a[1])
+        if op == "%":
+            return to_column(a[0]) % to_column(a[1])
         # CQL2 temporal BEFORE/AFTER are STRICT inequalities on instants
         if op == "<" or op == "t_before":
             return to_column(a[0]) < to_column(a[1])
@@ -575,6 +614,16 @@ def evaluate(ast, item: dict):
         return l == r
     if op == "<>":
         return l != r
+    if op == "+":
+        return l + r
+    if op == "-":
+        return l - r
+    if op == "*":
+        return l * r
+    if op == "/":
+        return l / r
+    if op == "%":
+        return l % r
     # strict temporal BEFORE/AFTER (CQL2 instants)
     if op == "<" or op == "t_before":
         return l < r

@@ -68,6 +68,31 @@ def test_compile_short_circuit(spark):
     assert not short and col is not None and refines == []
 
 
+def test_parse_arithmetic():
+    ast = parse_text("a + 2 * b < 10")
+    assert ast.op == "<" and ast.args[0].op == "+"
+    assert ast.args[0].args[1].op == "*"  # precedence: * binds tighter
+    # infix minus vs negative literal
+    ast = parse_text("a - 1 = -1")
+    assert ast.args[0].op == "-" and ast.args[0].args[1].value == 1
+    assert ast.args[1].value == -1
+
+
+def test_evaluate_arithmetic():
+    from rustac_spark.stac.cql2 import evaluate
+    item = {"a": 7.0, "b": 2.0}
+    assert evaluate(parse_text("a + 2 * b < 12"), item) is True
+    assert evaluate(parse_text("a % 2 = 1"), item) is True
+    assert evaluate(parse_text("(a - 1) / b = 3"), item) is True
+    assert evaluate(parse_text("a * b > 100"), item) is False
+
+
+def test_compile_arithmetic(spark):
+    col, short, refines = compile_filter(
+        "eo:cloud_cover * 2 + 1 < 50", ["id", "eo:cloud_cover"])
+    assert not short and col is not None and refines == []
+
+
 def test_parse_wkt_literals():
     from rustac_spark.geo.wkbio import geometry_pieces, parse_wkb
     from rustac_spark.stac.cql2 import Geom

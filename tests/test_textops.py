@@ -168,6 +168,37 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     assert len(approx & exact) / len(exact) >= 0.5
 
 
+def test_ann_ivf_kmeans_improves_or_matches_random(spark):
+    import numpy as np
+    from rustac_spark.ml.ann import kmeans_centroids, knn_ivf
+    rng = [(i, [float(x) for x in np.sin(np.arange(16) * (i + 1) * 0.7)])
+           for i in range(200)]
+    vec = spark.createDataFrame(rng, ["vec_id", "embedding"])
+    q = (vec.where(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qvec")))
+    exact = {(r["query_id"], r["vec_id"])
+             for r in knn_bruteforce(vec, q, k=3).collect()}
+
+    cents = kmeans_centroids(vec, n_centroids=8, dim=16, iters=4)
+    # spherical k-means invariants: unit-norm centroids, deterministic
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0)
+    cents2 = kmeans_centroids(vec, n_centroids=8, dim=16, iters=4)
+    assert np.allclose(cents, cents2)
+
+    fitted = {(r["query_id"], r["vec_id"])
+              for r in knn_ivf(vec, q, k=3, n_centroids=8, n_probe=3,
+                               dim=16, centroids=cents).collect()}
+    random_ = {(r["query_id"], r["vec_id"])
+               for r in knn_ivf(vec, q, k=3, n_centroids=8, n_probe=3,
+                                dim=16).collect()}
+    rec_fit = len(fitted & exact) / len(exact)
+    rec_rand = len(random_ & exact) / len(exact)
+    # fitted lists must not be worse than unfitted, and decent overall
+    assert rec_fit >= rec_rand
+    assert rec_fit >= 0.6
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark):
     import numpy as np
     rng = [(i, [float(x) for x in np.sin(np.arange(16) * (i + 1) * 0.7)])
