@@ -93,7 +93,8 @@ _WKT_TYPES = {"point", "linestring", "polygon", "multipoint",
               "multilinestring", "multipolygon", "bbox"}
 
 # boolean function-call operators in cql2-text
-_FN_OPS = {"s_intersects", "t_before", "t_after", "t_intersects"}
+_FN_OPS = {"s_intersects", "t_before", "t_after", "t_intersects",
+           "a_equals", "a_contains", "a_containedby", "a_overlaps"}
 
 
 def _tokenize(text: str) -> list[tuple[str, str]]:
@@ -240,6 +241,16 @@ class _Parser:
             return Lit(float(v) if ("." in v or "e" in v.lower()) else int(v))
         if k == "punct" and v == "(":
             e = self.or_expr()
+            if self.peek() == ("punct", ","):
+                # cql2-text array literal: ('a', 'b', ...) — a
+                # parenthesized list with a comma is an array, a
+                # single-element group stays a grouping
+                items = [e]
+                while self.peek() == ("punct", ","):
+                    self.next()
+                    items.append(self.or_expr())
+                self.expect("punct", ")")
+                return items
             self.expect("punct", ")")
             return e
         if k == "kw" and v in ("true", "false"):
@@ -384,6 +395,7 @@ def parse_text(text: str):
 _JSON_OPS = {"=", "<>", "<", "<=", ">", ">=", "and", "or", "not",
              "isNull", "in", "like", "between", "casei",
              "t_before", "t_after", "t_intersects", "s_intersects",
+             "a_equals", "a_contains", "a_containedby", "a_overlaps",
              "+", "-", "*", "/", "%"}
 
 _GEOJSON_TYPES = {"Point", "LineString", "Polygon", "MultiPoint",
@@ -408,6 +420,8 @@ def parse_json(obj) -> Any:
             return Lit(parse_rfc3339(obj["date"] + "T00:00:00Z"))
         if "op" in obj:
             op = obj["op"]
+            if op.lower().startswith("a_"):
+                op = op.lower()  # spec spells a_containedBy camelCase
             if op not in _JSON_OPS:
                 raise Cql2Error(f"cql2-json: unsupported op {op!r}")
             args = obj.get("args", [])
@@ -467,6 +481,8 @@ def to_column(ast):
         return _col(ast.name)
     if isinstance(ast, Lit):
         return F.lit(ast.value)
+    if isinstance(ast, list):  # array literal
+        return F.array(*[to_column(x) for x in ast])
     if isinstance(ast, Op):
         op, a = ast.op, ast.args
         if op == "and":
@@ -489,6 +505,20 @@ def to_column(ast):
             return to_column(a[0]) / to_column(a[1])
         if op == "%":
             return to_column(a[0]) % to_column(a[1])
+        # array predicates (CQL2 arrays extension) — set/multiset
+        # semantics over ArrayType columns, pure Column
+        if op == "a_equals":
+            return (F.array_sort(to_column(a[0]))
+                    == F.array_sort(to_column(a[1])))
+        if op == "a_contains":
+            return F.size(F.array_except(to_column(a[1]),
+                                         to_column(a[0]))) == 0
+        if op == "a_containedby":
+            return F.size(F.array_except(to_column(a[0]),
+                                         to_column(a[1]))) == 0
+        if op == "a_overlaps":
+            return F.size(F.array_intersect(to_column(a[0]),
+                                            to_column(a[1]))) > 0
         # CQL2 temporal BEFORE/AFTER are STRICT inequalities on instants
         if op == "<" or op == "t_before":
             return to_column(a[0]) < to_column(a[1])
@@ -536,6 +566,8 @@ def evaluate(ast, item: dict):
         return item.get(ast.name)
     if isinstance(ast, Lit):
         return ast.value
+    if isinstance(ast, list):  # array literal
+        return [evaluate(x, item) for x in ast]
     op, a = ast.op, ast.args
 
     def ev(n):
@@ -614,6 +646,14 @@ def evaluate(ast, item: dict):
         return l == r
     if op == "<>":
         return l != r
+    if op == "a_equals":
+        return sorted(l) == sorted(r)
+    if op == "a_contains":
+        return set(r) <= set(l)
+    if op == "a_containedby":
+        return set(l) <= set(r)
+    if op == "a_overlaps":
+        return bool(set(l) & set(r))
     if op == "+":
         return l + r
     if op == "-":

@@ -93,6 +93,39 @@ def test_compile_arithmetic(spark):
     assert not short and col is not None and refines == []
 
 
+def test_array_ops():
+    from rustac_spark.stac.cql2 import evaluate
+    item = {"tags": ["a", "b", "c"]}
+    assert evaluate(parse_text("a_contains(tags, ('a', 'c'))"), item) is True
+    assert evaluate(parse_text("a_contains(tags, ('a', 'z'))"), item) is False
+    assert evaluate(parse_text("a_overlaps(tags, ('z', 'c'))"), item) is True
+    assert evaluate(parse_text("a_containedBy(tags, "
+                               "('a','b','c','d'))"), item) is True
+    assert evaluate(parse_text("a_equals(tags, ('c','b','a'))"), item) is True
+    assert evaluate(parse_text("a_equals(tags, ('a','b'))"), item) is False
+    # json dialect, camelCase op spelling normalized
+    ast = parse({"op": "a_containedBy", "args": [
+        {"property": "tags"}, ["a", "b", "c", "d"]]})
+    assert ast.op == "a_containedby"
+    assert evaluate(ast, item) is True
+    # single-element parenthesized expression is still a grouping
+    assert parse_text("(a) = 1").op == "="
+
+
+def test_array_ops_compile(spark):
+    from pyspark.sql import functions as F
+    from rustac_spark.stac.cql2 import to_column
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["b", "c"]), (3, [])],
+        "id bigint, tags array<string>")
+    got = {r["id"] for r in df.where(to_column(parse_text(
+        "a_overlaps(tags, ('a', 'c'))"))).collect()}
+    assert got == {1, 2}
+    got = {r["id"] for r in df.where(to_column(parse_text(
+        "a_contains(tags, ('b', 'c'))"))).collect()}
+    assert got == {2}
+
+
 def test_parse_wkt_literals():
     from rustac_spark.geo.wkbio import geometry_pieces, parse_wkb
     from rustac_spark.stac.cql2 import Geom
