@@ -193,18 +193,56 @@ def knn_ivf(vectors: DataFrame, queries: DataFrame, k: int = 5,
 
 def near_dup_pairs_cosine(vectors: DataFrame, threshold: float = 0.95,
                           id_col: str = "vec_id", vec_col: str = "embedding",
-                          block_col: str | None = "label") -> DataFrame:
+                          block_col: str | None = "label",
+                          lsh_bits: int | None = None,
+                          dim: int = 64) -> DataFrame:
     """Embedding-cosine near-dup pairs (a < b, sim ≥ threshold).
-    Blocked by `block_col` when given (only intra-block pairs are
-    scored — the practical contract for near-dup at scale); all-pairs
-    otherwise."""
+
+    Blocking (what keeps this off O(n²) at 10^12 rows):
+    - `block_col` given: only intra-block pairs are scored (exact
+      within the block contract);
+    - else `lsh_bits` given: sign-LSH blocking — each vector lands in
+      its hyperplane-sign bucket plus all 1-bit-flip buckets
+      (multi-probe), pairs sharing any bucket are scored once,
+      similarity is exact; a near-dup pair is missed only if its two
+      vectors differ in ≥2 sign bits (rare at high thresholds);
+    - else: exhaustive crossJoin — correct, but the caller owns the
+      quadratic cost; prefer one of the blockings at scale."""
     v = vectors.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"),
                        *( [F.col(block_col)] if block_col else []))
-    a = v.select(F.col(id_col).alias("a"), F.col("v").alias("va"),
-                 *([F.col(block_col)] if block_col else []))
-    b = v.select(F.col(id_col).alias("b"), F.col("v").alias("vb"),
-                 *([F.col(block_col)] if block_col else []))
-    joined = a.join(b, on=block_col) if block_col else a.crossJoin(b)
+    if block_col:
+        a = v.select(F.col(id_col).alias("a"), F.col("v").alias("va"),
+                     F.col(block_col))
+        b = v.select(F.col(id_col).alias("b"), F.col("v").alias("vb"),
+                     F.col(block_col))
+        joined = a.join(b, on=block_col)
+    elif lsh_bits:
+        planes = _hyperplanes(dim, lsh_bits)
+        bucket = lsh_bucket_col(F.col("v"), planes)
+        probes = F.array(*([bucket] +
+                           [bucket.bitwiseXOR(F.lit(1 << i))
+                            for i in range(lsh_bits)]))
+        vb = v.withColumn("bucket", F.explode(probes))
+        a = vb.select(F.col(id_col).alias("a"), F.col("v").alias("va"),
+                      "bucket")
+        b = vb.select(F.col(id_col).alias("b"), F.col("v").alias("vb"),
+                      "bucket")
+        # a pair sharing several probe buckets would dup — distinct on
+        # the candidate ids before scoring keeps each pair scored once
+        cands = (a.join(b, "bucket").where(F.col("a") < F.col("b"))
+                 .select("a", "b").distinct())
+        va = v.select(F.col(id_col).alias("a"), F.col("v").alias("va"))
+        vbt = v.select(F.col(id_col).alias("b"), F.col("v").alias("vb"))
+        joined = cands.join(va, "a").join(vbt, "b")
+        return (joined
+                .withColumn("cosine_sim",
+                            F.round(cosine(F.col("va"), F.col("vb")), 6))
+                .where(F.col("cosine_sim") >= threshold)
+                .select("a", "b", "cosine_sim"))
+    else:
+        a = v.select(F.col(id_col).alias("a"), F.col("v").alias("va"))
+        b = v.select(F.col(id_col).alias("b"), F.col("v").alias("vb"))
+        joined = a.crossJoin(b)
     return (joined.where(F.col("a") < F.col("b"))
             .withColumn("cosine_sim",
                         F.round(cosine(F.col("va"), F.col("vb")), 6))

@@ -85,3 +85,48 @@ def test_parse_interval_never_crashes_unexpectedly(s):
             assert start <= end
     except DatetimeParseError:
         pass
+
+
+@given(lon, lat, size, size, st.integers(min_value=0, max_value=2**32 - 1))
+@settings(max_examples=150, deadline=None)
+def test_rects_intersect_pieces_vs_sampled_oracle(x, y, w, h, seed):
+    """The generalized rect×geometry kernel agrees with a dense-sample
+    oracle on random multi-geometries: if any sampled point of the
+    geometry lies in the rect, the kernel must say True (no false
+    negatives on witnessed intersections); if the kernel says False,
+    no sample may fall inside."""
+    from rustac_spark.geo.predicates import rects_intersect_pieces
+    from rustac_spark.geo.wkbio import (
+        geojson_to_wkb, geometry_pieces, parse_wkb)
+    rng = np.random.default_rng(seed)
+    cx, cy = x + rng.uniform(-2, 2), y + rng.uniform(-2, 2)
+    tri = [[cx, cy], [cx + 1.3, cy + 0.2], [cx + 0.4, cy + 1.7], [cx, cy]]
+    line = [[cx - 1, cy - 1], [cx + 2, cy + 2], [cx + 3, cy - 1]]
+    pt = [cx + 0.5, cy + 0.5]
+    gj = {"type": "GeometryCollection", "geometries": [
+        {"type": "Polygon", "coordinates": [tri]},
+        {"type": "LineString", "coordinates": line},
+        {"type": "Point", "coordinates": pt},
+    ]}
+    pieces = geometry_pieces(parse_wkb(geojson_to_wkb(gj)))
+    got = bool(rects_intersect_pieces(
+        np.array([x]), np.array([y]),
+        np.array([x + w]), np.array([y + h]), pieces)[0])
+
+    # sample witnesses: triangle interior points, line points, the point
+    samples = [pt]
+    a, b, c = np.array(tri[0]), np.array(tri[1]), np.array(tri[2])
+    for _ in range(120):
+        u, v = rng.uniform(0, 1, 2)
+        if u + v > 1:
+            u, v = 1 - u, 1 - v
+        samples.append((a + u * (b - a) + v * (c - a)).tolist())
+    ls = np.array(line)
+    for i in range(len(ls) - 1):
+        for t in np.linspace(0, 1, 40):
+            samples.append((ls[i] * (1 - t) + ls[i + 1] * t).tolist())
+    eps = 1e-9
+    witnessed = any(x + eps < sx < x + w - eps and y + eps < sy < y + h - eps
+                    for sx, sy in samples)
+    if witnessed:
+        assert got, (x, y, w, h, gj)

@@ -199,6 +199,29 @@ def test_ann_ivf_kmeans_improves_or_matches_random(spark):
     assert rec_fit >= 0.6
 
 
+def test_embedding_near_dup_lsh_blocking(spark):
+    import numpy as np
+    from rustac_spark.ml.ann import near_dup_pairs_cosine
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(20, 16))
+    rows = []
+    i = 0
+    for b in base:  # each base vector + a tiny perturbation = near-dup
+        rows.append((i, [float(x) for x in b])); i += 1
+        rows.append((i, [float(x) for x in b + rng.normal(0, 0.01, 16)]))
+        i += 1
+    vec = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {(r["a"], r["b"]) for r in near_dup_pairs_cosine(
+        vec, threshold=0.99, block_col=None).collect()}
+    lsh = {(r["a"], r["b"]) for r in near_dup_pairs_cosine(
+        vec, threshold=0.99, block_col=None, lsh_bits=6, dim=16).collect()}
+    # similarities are exact, so LSH output ⊆ exhaustive output
+    assert lsh <= exact
+    # multi-probe 1-bit-flip blocking keeps recall high on near-dups
+    assert len(exact) >= 20
+    assert len(lsh) / len(exact) >= 0.9
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark):
     import numpy as np
     rng = [(i, [float(x) for x in np.sin(np.arange(16) * (i + 1) * 0.7)])
