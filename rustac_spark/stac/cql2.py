@@ -10,6 +10,7 @@ crates/duckdb/src/client.rs:386-394):
 - Operators: = <> < <= > >= ; arithmetic + - * / % (standard
   precedence, infix-aware minus) ; and/or/not ; IS [NOT] NULL ;
   [NOT] IN ; [NOT] LIKE ; BETWEEN ; casei() → lower() ;
+  accenti() → accent folding (fixed Latin map, pure Column) ;
   t_before/t_after (strict < / > on instants) / t_intersects ;
   s_intersects(geometry, <WKT | BBOX(...) | GeoJSON dict>) — the
   reference compiles spatial CQL2 ops to DuckDB ST_Intersects
@@ -74,6 +75,12 @@ class Geom:
     wkb: bytes
 
 
+_ACCENTS = ("àáâãäåāăąèéêëēĕėęěìíîïĩīĭįòóôõöøōŏőùúûüũūŭůçćĉċčñńņňýÿ"
+            "ÀÁÂÃÄÅĀĂĄÈÉÊËĒĔĖĘĚÌÍÎÏĨĪĬĮÒÓÔÕÖØŌŎŐÙÚÛÜŨŪŬŮÇĆĈĊČÑŃŅŇÝŸ")
+_ACCENTS_FOLDED = ("aaaaaaaaaeeeeeeeeeiiiiiiiiooooooooouuuuuuuucccccnnnnyy"
+                   "AAAAAAAAAEEEEEEEEEIIIIIIIIOOOOOOOOOUUUUUUUUCCCCCNNNNYY")
+
+
 # ------------------------------------------------------------- tokenizer
 
 _TOKEN = re.compile(r"""
@@ -86,7 +93,7 @@ _TOKEN = re.compile(r"""
     )""", re.VERBOSE)
 
 _KEYWORDS = {"and", "or", "not", "is", "null", "in", "like", "between",
-             "true", "false", "timestamp", "date", "casei"}
+             "true", "false", "timestamp", "date", "casei", "accenti"}
 
 # WKT geometry literal heads (+ the cql2 BBOX() literal)
 _WKT_TYPES = {"point", "linestring", "polygon", "multipoint",
@@ -262,11 +269,11 @@ class _Parser:
             if v == "date":
                 s = s + "T00:00:00Z"
             return Lit(parse_rfc3339(s))
-        if k == "kw" and v == "casei":
+        if k == "kw" and v in ("casei", "accenti"):
             self.expect("punct", "(")
             e = self.or_expr()
             self.expect("punct", ")")
-            return Op("casei", [e])
+            return Op(v, [e])
         if k == "ident":
             name = v[1:-1] if v.startswith('"') else v
             low = name.lower()
@@ -393,7 +400,7 @@ def parse_text(text: str):
 # ----------------------------------------------------------- json walker
 
 _JSON_OPS = {"=", "<>", "<", "<=", ">", ">=", "and", "or", "not",
-             "isNull", "in", "like", "between", "casei",
+             "isNull", "in", "like", "between", "casei", "accenti",
              "t_before", "t_after", "t_intersects", "s_intersects",
              "a_equals", "a_contains", "a_containedby", "a_overlaps",
              "+", "-", "*", "/", "%"}
@@ -553,6 +560,11 @@ def to_column(ast):
             return (c >= to_column(a[1])) & (c <= to_column(a[2]))
         if op == "casei":
             return F.lower(to_column(a[0]))
+        if op == "accenti":
+            # accent folding via a fixed Latin-1/Latin-Extended map —
+            # pure Column (F.translate), the common-case cover of the
+            # cql2 crate's ACCENTI
+            return F.translate(to_column(a[0]), _ACCENTS, _ACCENTS_FOLDED)
         raise Cql2Error(f"unsupported op {op!r}")
     raise Cql2Error(f"cannot compile node {ast!r}")
 
@@ -588,6 +600,11 @@ def evaluate(ast, item: dict):
     if op == "casei":
         v = ev(a[0])
         return v.lower() if isinstance(v, str) else v
+    if op == "accenti":
+        v = ev(a[0])
+        if not isinstance(v, str):
+            return v
+        return v.translate(str.maketrans(_ACCENTS, _ACCENTS_FOLDED))
     if op == "in":
         v = ev(a[0])
         if v is None:

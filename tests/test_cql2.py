@@ -93,6 +93,18 @@ def test_compile_arithmetic(spark):
     assert not short and col is not None and refines == []
 
 
+def test_accenti(spark):
+    from rustac_spark.stac.cql2 import evaluate, to_column
+    ast = parse_text("accenti(name) = 'cafe'")
+    assert ast.args[0].op == "accenti"
+    assert evaluate(ast, {"name": "café"}) is True
+    assert evaluate(ast, {"name": "cafe"}) is True
+    assert evaluate(ast, {"name": "caff"}) is False
+    df = spark.createDataFrame([("café",), ("naïve",)], ["name"])
+    got = {r["name"] for r in df.where(to_column(ast)).collect()}
+    assert got == {"café"}
+
+
 def test_array_ops():
     from rustac_spark.stac.cql2 import evaluate
     item = {"tags": ["a", "b", "c"]}
