@@ -28,9 +28,12 @@ def _spark(args):
 
 
 def _read_items(spark, path: str):
+    from .stac.translate import coerce_item_columns
     fmt = infer_from_href(path)
     if fmt.kind == "geoparquet":
-        return spark.read.parquet(path)
+        # dirty-parquet fixups (non-string id, stringified
+        # stac_extensions) are no-ops on clean tables
+        return coerce_item_columns(spark.read.parquet(path))
     return spark.read.json(path)  # ndjson / json-lines
 
 
