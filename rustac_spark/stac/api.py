@@ -9,7 +9,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
-from .search import Search, build_plan
+from .search import Search, build_plan, parse_sortby
 
 DEFAULT_LIMIT = 10  # crates/server/src/lib.rs:57
 
@@ -42,6 +42,59 @@ def search_page(df: DataFrame, search: Search,
     prv = {"skip": max(0, skip - limit)} if skip > 0 else None
     return Page(rows=rows, number_matched=matched,
                 number_returned=len(rows), next_token=nxt, prev_token=prv)
+
+
+def search_page_keyset(df: DataFrame, search: Search,
+                       after: dict | None = None,
+                       count_matched: bool = False) -> Page:
+    """Keyset (cursor) pagination — the 100 TB twin of search_page's
+    skip tokens: instead of OFFSET (which scans and discards `skip`
+    rows — O(offset) per page at 10^12 rows), the next page filters
+    on the last row's sort-key tuple with a lexicographic keyset
+    predicate, which pushes into the scan like any other filter.
+
+    `after` is the opaque token from the previous Page.next_token:
+    {"keys": [...last sort values...]}. Tokens stay valid under
+    concurrent appends (no page drift, unlike OFFSET). The id
+    tie-break column is always the final sort key, so the tuple is a
+    total order. numberMatched costs a full count — off by default
+    (the reference's context extension also makes it optional)."""
+    limit = search.limit if search.limit is not None else DEFAULT_LIMIT
+    base = Search(**{**search.__dict__, "limit": None, "offset": None})
+    keys = parse_sortby(base.sortby) if base.sortby else []
+    if not any(f == "id" for f, _ in keys):
+        keys = keys + [("id", True)]
+    base.sortby = keys
+    plan = build_plan(df, base)
+    matched = plan.count() if count_matched else -1
+    if after:
+        vals = after["keys"]
+        # lexicographic (k1,k2,...) > (v1,v2,...) with per-key
+        # direction: OR over strict-prefix-equal branches
+        pred = None
+        for i in range(len(keys)):
+            branch = None
+            for j in range(i):
+                eq = F.col(_q(keys[j][0])) == F.lit(vals[j])
+                branch = eq if branch is None else (branch & eq)
+            f, asc = keys[i]
+            cmp = (F.col(_q(f)) > F.lit(vals[i]) if asc
+                   else F.col(_q(f)) < F.lit(vals[i]))
+            branch = cmp if branch is None else (branch & cmp)
+            pred = branch if pred is None else (pred | branch)
+        plan = plan.where(pred)
+    rows = plan.limit(limit + 1).collect()
+    has_more = len(rows) > limit
+    rows = rows[:limit]
+    nxt = ({"keys": [rows[-1][f] for f, _ in keys]}
+           if has_more and rows else None)
+    return Page(rows=rows, number_matched=matched,
+                number_returned=len(rows), next_token=nxt,
+                prev_token=None)
+
+
+def _q(name: str) -> str:
+    return f"`{name}`" if (":" in name or "." in name) else name
 
 
 CONFORMANCE_CLASSES = [

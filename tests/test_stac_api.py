@@ -38,6 +38,37 @@ def test_collections(stac_items):
     assert t0.startswith("2024-03-26") and t1.startswith("2024-12-03")
 
 
+def test_search_page_keyset(stac_items):
+    from rustac_spark.stac.api import search_page_keyset
+    # walk all 100 items in 3 keyset pages of 40, multi-key sort
+    s = Search(sortby="-eo:cloud_cover,id", limit=40)
+    seen, token, pages = [], None, 0
+    while True:
+        page = search_page_keyset(stac_items, s, after=token)
+        seen.extend((r["id"]) for r in page.rows)
+        pages += 1
+        if page.next_token is None:
+            break
+        token = page.next_token
+    assert pages == 3 and len(seen) == 100 and len(set(seen)) == 100
+    # exact agreement with the offset-based page walk
+    from rustac_spark.stac.api import search_page
+    ref = []
+    skip = 0
+    while True:
+        p = search_page(stac_items, s, skip=skip)
+        ref.extend(r["id"] for r in p.rows)
+        if p.next_token is None:
+            break
+        skip = p.next_token["skip"]
+    assert seen == ref
+    # keyset token survives filters too
+    s2 = Search(filter="eo:cloud_cover < 50", sortby="id", limit=10)
+    p1 = search_page_keyset(stac_items, s2)
+    p2 = search_page_keyset(stac_items, s2, after=p1.next_token)
+    assert len(p1.rows) == 10 and p1.rows[-1]["id"] < p2.rows[0]["id"]
+
+
 def test_queryables_and_conformance(stac_items):
     from rustac_spark.stac.api import conformance, queryables
     q = queryables(stac_items)
