@@ -234,7 +234,11 @@ def build_plan(df: DataFrame, search: Search) -> DataFrame:
 
     if search.sortby:
         keys = parse_sortby(search.sortby)
-        df = df.orderBy(*[F.col(_q(f)).asc() if asc else F.col(_q(f)).desc()
+        # NULLS LAST for both directions — the reference's engine
+        # (DuckDB default_null_order) sorts nulls last under ASC and
+        # DESC alike; Spark's bare asc() would put them first
+        df = df.orderBy(*[F.col(_q(f)).asc_nulls_last() if asc
+                          else F.col(_q(f)).desc_nulls_last()
                           for f, asc in keys])
 
     if search.offset:

@@ -130,6 +130,18 @@ def test_sortby_asc_desc(stac_items):
     assert desc[0]["id"] == "item-0099"
 
 
+def test_sortby_nulls_last_both_directions(spark):
+    # DuckDB (the reference's engine) sorts NULLs last under ASC and
+    # DESC alike (default_null_order) — parity check on a null-bearing
+    # sort column
+    df = spark.createDataFrame(
+        [("a", 2.0), ("b", None), ("c", 1.0)], "id string, v double")
+    asc = [r["id"] for r in run(df, sortby="v").collect()]
+    assert asc == ["c", "a", "b"]
+    desc = [r["id"] for r in run(df, sortby="-v").collect()]
+    assert desc == ["a", "c", "b"]
+
+
 def test_fields_single_column(stac_items):
     out = run(stac_items, fields="+id", limit=1)
     assert out.columns == ["id"]
