@@ -18,11 +18,15 @@ def sessionize(events: DataFrame, gap_minutes: int = 30,
     window requires, shared by both window functions.
     """
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
-    # TIMESTAMP_NTZ has no direct long cast; session TZ is pinned UTC
-    # so ltz epoch seconds are well-defined
-    secs = F.col(ts_col).cast("timestamp_ltz").cast("long")
-    gap = secs - F.lag(secs).over(w)
-    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    # microsecond-exact gap math: casting to whole epoch seconds would
+    # truncate sub-second timestamps and flip boundaries right at the
+    # threshold (a 1800.4 s gap must break the session; truncated it
+    # reads 1800 and doesn't). Session TZ is pinned UTC so the ltz
+    # interpretation of TIMESTAMP_NTZ input is well-defined.
+    micros = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    gap = micros - F.lag(micros).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000),
+                    1).otherwise(0)
     df = events.withColumn("_new", is_new)
     df = df.withColumn("session_id", F.sum("_new").over(
         w.rowsBetween(Window.unboundedPreceding, 0)))

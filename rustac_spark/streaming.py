@@ -59,7 +59,9 @@ def windowed_lang_counts(prepared: DataFrame,
 SESSION_OUT_SCHEMA = ("user_id long, session_start timestamp, "
                       "session_end timestamp, n_events long, "
                       "sum_value double")
-# open-session state: epoch-second bounds + running count/sum
+# open-session state: epoch-MICROsecond bounds + running count/sum
+# (whole seconds would truncate sub-second timestamps and flip gap
+# decisions at the threshold — must match events.sessionize exactly)
 SESSION_STATE_SCHEMA = "start long, end long, n long, s double"
 
 
@@ -81,7 +83,7 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    gap_s = gap_minutes * 60
+    gap_us = gap_minutes * 60 * 1_000_000
 
     def fn(key, pdfs, state: GroupState):
         user = key[0]
@@ -94,30 +96,34 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
             parts = [pdf for pdf in pdfs if len(pdf)]
             if parts:
                 df = pd.concat(parts).sort_values(ts_col)
-                secs = (df[ts_col].astype("int64") // 1_000_000_000).to_numpy()
+                us = (df[ts_col].astype("int64") // 1_000).to_numpy()
                 vals = df["value"].to_numpy()
                 if state.exists:
                     st, en, n, s = state.get
                 else:
                     st, en, n, s = None, 0, 0, 0.0
-                for t, v in zip(secs, vals):
+                for t, v in zip(us, vals):
                     t = int(t)
                     if st is None:
                         st, en, n, s = t, t, 1, float(v)
-                    elif t - en > gap_s:
+                    elif t - en > gap_us:
                         closed.append((user, st, en, n, s))
                         st, en, n, s = t, t, 1, float(v)
                     else:
-                        en, n, s = max(en, t), n + 1, s + float(v)
+                        # a late-but-in-watermark event may precede the
+                        # open session's start — take min(st, t) so
+                        # session_start matches the batch twin's min(ts)
+                        st, en, n, s = (min(st, t), max(en, t),
+                                        n + 1, s + float(v))
                 state.update((st, en, n, float(s)))
                 # emit the open session when the watermark passes its
                 # quiet period (ms — GroupState event-time timeout unit)
-                state.setTimeoutTimestamp((en + gap_s) * 1000)
+                state.setTimeoutTimestamp((en + gap_us) // 1000)
         out = pd.DataFrame(
             closed, columns=["user_id", "_st", "_en", "n_events",
                              "sum_value"])
-        out["session_start"] = pd.to_datetime(out["_st"], unit="s")
-        out["session_end"] = pd.to_datetime(out["_en"], unit="s")
+        out["session_start"] = pd.to_datetime(out["_st"], unit="us")
+        out["session_end"] = pd.to_datetime(out["_en"], unit="us")
         yield out[["user_id", "session_start", "session_end",
                    "n_events", "sum_value"]]
 

@@ -32,8 +32,12 @@ def norm(v):
         if math.isnan(v):
             return "nan"
         return repr(round(v, 9))
+    # Decimal is NOT collapsed to float: the driver's value hash sees
+    # Decimal('3') != 3, so selfcheck must too (round-2 lesson — the
+    # events_sessionize oracle emitted a HUGEINT/decimal128 window sum
+    # that selfcheck's old float collapse masked).
     if isinstance(v, decimal.Decimal):
-        return repr(float(v))
+        return "decimal:" + str(v)
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, (bytes, bytearray)):
