@@ -78,12 +78,21 @@ def knn_cells(pages: DataFrame, queries: DataFrame, k: int = 5,
                 F.col("lat"), F.col("lon"), F.col("qlat"), F.col("qlon"))))
     topk = _rank_topk(cand, k)
 
-    # safe radius: (rings) cells minus one diagonal, in km at equator
+    # safe radius: (rings) cells minus one diagonal. 1° of longitude is
+    # 111·cos(lat) km, so the equatorial bound overstates coverage at
+    # high latitude (a 39 km disk at 84° spans ~10 cells of longitude,
+    # far outside the ring). Scale per query by the WORST latitude the
+    # ring can reach (|qlat| + rings·dy, capped at the pole) — at the
+    # pole the bound collapses to 0 and every query falls back to the
+    # exact brute-force path.
     dx, dy = cell_size_deg(res)
-    safe_km = (rings) * min(dx, dy) * 111.0 * 0.5
+    base_km = rings * min(dx, dy) * 111.0 * 0.5
+    worst_lat = F.least(F.lit(90.0),
+                        F.abs(F.col("qlat")) + F.lit(rings * dy))
+    safe_km = F.lit(base_km) * F.cos(F.radians(worst_lat))
     stats = topk.groupBy("query_id").agg(
         F.count("*").alias("n"), F.max("dist_km").alias("dmax"))
-    flagged = (queries.select("query_id")
+    flagged = (queries.select("query_id", F.col("qymin").alias("qlat"))
                .join(stats, "query_id", "left")
                .where(F.col("n").isNull() | (F.col("n") < k)
                       | (F.col("dmax") > safe_km)))
