@@ -232,6 +232,19 @@ def stac_geoparquet_metadata(collections: dict | None = None) -> dict:
     return out
 
 
+def _arrow_fs(path: str):
+    """Resolve a destination to (pyarrow filesystem, fs-local path) —
+    the executor-side twin of the reference's object-store dispatch
+    (crates/io/src/store.rs:15-62): s3://, gs://, hdfs:// resolve via
+    pyarrow.fs.FileSystem.from_uri; bare paths and file:// are local."""
+    from pyarrow import fs as pafs
+    if path.startswith("file://"):
+        return pafs.LocalFileSystem(), path[len("file://"):]
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
 def write_stac_geoparquet(df: DataFrame, path: str,
                           row_group_rows: int = 150_000,
                           collections: dict | None = None) -> None:
@@ -241,46 +254,94 @@ def write_stac_geoparquet(df: DataFrame, path: str,
     stac-geoparquet implementations require (the reference appends
     them at finish(), geoparquet.rs:516-542,624-631).
 
-    Spark's parquet writer can't attach arbitrary footer KV, so the
-    metadata is stamped in a post-pass footer rewrite per part file.
-    Scale note: the rewrite is distributed over the same executors
-    that wrote the files on a real cluster (one task per file via the
-    binaryFile-list + foreachPartition pattern); at local[_] scale a
-    driver-side loop over the directory is equivalent and simpler.
-    """
-    (df.write.mode("overwrite")
-     .option("compression", "zstd")
-     .option("parquet.block.size", str(row_group_rows * 256))
-     .parquet(path))
-    import glob
-    import os
-    import pyarrow.parquet as pq
+    SINGLE distributed pass: Spark's parquet writer can't attach
+    arbitrary footer KV, so each partition streams its Arrow batches
+    through its own pyarrow ParquetWriter (mapInArrow — no pandas
+    round-trip, no driver-side data movement) with the KV metadata in
+    the schema at open. Batches are re-chunked so every full row group
+    holds exactly `row_group_rows` rows. Part filenames are
+    deterministic per partition id, so a task retry overwrites its own
+    partial output. Destinations resolve through pyarrow.fs, covering
+    s3://, gs://, hdfs:// as well as local paths (round-2 ADVICE: the
+    old glob-based post-pass silently skipped non-local paths)."""
+    import pyarrow as pa
+
     kv = {
-        "geo": json.dumps(geo_metadata(df.columns)),
-        "stac-geoparquet": json.dumps(stac_geoparquet_metadata(collections)),
+        b"geo": json.dumps(geo_metadata(df.columns)).encode(),
+        b"stac-geoparquet":
+            json.dumps(stac_geoparquet_metadata(collections)).encode(),
     }
-    for part in glob.glob(f"{path}/*.parquet"):
-        table = pq.read_table(part)
-        meta = dict(table.schema.metadata or {})
-        meta.update({k.encode(): v.encode() for k, v in kv.items()})
-        pq.write_table(table.replace_schema_metadata(meta), part,
-                       compression="zstd",
-                       row_group_size=row_group_rows)
-        # the Hadoop CRC sidecar no longer matches the rewritten file
-        crc = os.path.join(os.path.dirname(part),
-                           f".{os.path.basename(part)}.crc")
-        if os.path.exists(crc):
-            os.remove(crc)
+
+    fs, base = _arrow_fs(path)
+    from pyarrow import fs as pafs
+    fs.create_dir(base, recursive=True)
+    # mode=overwrite: clear previous parts (and stale markers)
+    for info in fs.get_file_info(pafs.FileSelector(base)):
+        if info.type == pafs.FileType.File:
+            fs.delete_file(info.path)
+
+    def write_partition(batches):
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        wfs, wbase = _arrow_fs(path)
+        out = f"{wbase}/part-{pid:05d}.parquet"
+        writer = None
+        acc: list[pa.Table] = []
+        n = 0
+
+        def flush(final: bool) -> None:
+            nonlocal acc, n
+            while n >= row_group_rows or (final and n > 0):
+                t = pa.concat_tables(acc).combine_chunks()
+                take = min(n, row_group_rows)
+                writer.write_table(t.slice(0, take), row_group_size=take)
+                rest = t.slice(take)
+                acc = [rest] if rest.num_rows else []
+                n = rest.num_rows
+
+        total = 0
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            if writer is None:
+                schema = rb.schema.with_metadata(kv)
+                writer = pq.ParquetWriter(out, schema, filesystem=wfs,
+                                          compression="zstd")
+            acc.append(pa.Table.from_batches([rb]))
+            n += rb.num_rows
+            total += rb.num_rows
+            flush(final=False)
+        if writer is not None:
+            flush(final=True)
+            writer.close()
+            yield pa.RecordBatch.from_pydict(
+                {"file": [out], "rows": [total]})
+
+    # the collect is one tiny (file, rows) row per partition — the
+    # data itself never crosses the driver
+    df.mapInArrow(write_partition, "file string, rows long").collect()
+    with fs.open_output_stream(f"{base}/_SUCCESS") as f:
+        f.write(b"")
 
 
 def read_stac_geoparquet_metadata(path: str) -> dict:
     """Parse the `geo` + `stac-geoparquet` KV footer metadata of a
     stac-geoparquet dataset (first part file — all parts carry the
-    same KVs)."""
-    import glob
+    same KVs). Resolves non-local paths through pyarrow.fs."""
     import pyarrow.parquet as pq
-    parts = sorted(glob.glob(f"{path}/*.parquet")) or [path]
-    meta = pq.read_schema(parts[0]).metadata or {}
+    from pyarrow import fs as pafs
+    fs, base = _arrow_fs(path)
+    info = fs.get_file_info(base)
+    if info.type == pafs.FileType.Directory:
+        parts = sorted(i.path for i in
+                       fs.get_file_info(pafs.FileSelector(base))
+                       if i.path.endswith(".parquet"))
+        first = parts[0] if parts else base
+    else:
+        first = base
+    meta = pq.read_schema(first, filesystem=fs).metadata or {}
     out = {}
     for key in (b"geo", b"stac-geoparquet"):
         if key in meta:
