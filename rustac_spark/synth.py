@@ -196,6 +196,34 @@ def queries_pandas(n_queries: int = 60) -> pd.DataFrame:
             "geometry": point_wkb(plon, plat),
             "datetime": dt, "t_start": t_start, "t_end": t_end,
         })
+    # rectilinear (L-shaped) polygons: region == union of two
+    # axis-aligned rects, so exact PIP is expressible in plain SQL and
+    # the polygon kernel path gets a full DuckDB oracle (round-2
+    # VERDICT Next-round #4). The split coordinates use EXACTLY the
+    # expressions the oracle recomputes from the stored bbox —
+    # xm = qxmin + 0.6*(qxmax-qxmin), ym = qymin + 0.5*(qymax-qymin) —
+    # so both sides evaluate bit-identical IEEE doubles.
+    for j in range(5):
+        q = n_queries + 3 + j
+        domain = f"d{(j * 4) % 20:03d}.example.com"
+        lat = (stable_hash(domain) % 170_000) / 1000.0 - 85.0
+        lon = (stable_hash(domain + "x") % 360_000) / 1000.0 - 180.0
+        lat = min(max(lat, -84.0), 84.0)
+        lon = min(max(lon, -179.0), 179.0)
+        w = 0.3 + (stable_hash(f"rl{j}w") % 100) / 100.0 * 0.5
+        h = 0.3 + (stable_hash(f"rl{j}h") % 100) / 100.0 * 0.5
+        x0, y0 = lon - 0.5 * w, lat - 0.5 * h
+        x2, y2 = x0 + w, y0 + h
+        xm = x0 + 0.6 * (x2 - x0)
+        ym = y0 + 0.5 * (y2 - y0)
+        ring = [(x0, y0), (x2, y0), (x2, ym), (xm, ym), (xm, y2),
+                (x0, y2), (x0, y0)]
+        rows.append({
+            "query_id": q, "kind": "polygon",
+            "qxmin": x0, "qymin": y0, "qxmax": x2, "qymax": y2,
+            "geometry": polygon_wkb(ring),
+            "datetime": None, "t_start": None, "t_end": None,
+        })
     return pd.DataFrame(rows)
 
 
