@@ -112,7 +112,8 @@ def main() -> None:
         # materialize join PAIRS once; counts and the temporal join
         # derive from the pairs instead of re-running the join.
         pairs = pipe.stage("join_pairs", lambda: spatial_join(
-            prepared, queries, page_cols=["url", "warc_ts"]))
+            prepared, queries, page_cols=["url", "warc_ts"],
+            has_polygons=True))  # probe set has polygons; keep plan lazy
 
         pipe.stage("join_counts", lambda: (
             pairs.groupBy("query_id", "kind")

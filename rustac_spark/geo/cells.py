@@ -38,6 +38,11 @@ def encode(res: int, x: Column, y: Column) -> Column:
     return base + F.shiftleft(y.cast("long"), _Y_SHIFT) + x.cast("long")
 
 
+def encode_py(res: int, x: int, y: int) -> int:
+    """Driver-side scalar twin of ``encode`` (tests/diagnostics)."""
+    return (res << _RES_SHIFT) | (y << _Y_SHIFT) | x
+
+
 def decode_py(cell: int) -> tuple[int, int, int]:
     """(res, x, y) — driver-side helper for tests/diagnostics."""
     res = cell >> _RES_SHIFT

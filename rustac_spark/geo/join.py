@@ -76,8 +76,8 @@ def _reference_point_dedup(res: int, hot: set[int] | None = None,
     ry = F.greatest(F.col("ymin"), F.col("qymin"))
     ref = grid.cell_of_point(rx, ry, res)
     if hot:
-        hot_arr = F.array(*[F.lit(c) for c in sorted(hot)])
-        ref = F.when(F.array_contains(hot_arr, ref),
+        from ..pipeline.skew import hot_membership
+        ref = F.when(hot_membership(ref, hot),
                      grid.cell_of_point(rx, ry, res + 1)).otherwise(ref)
     return F.col("cell") == ref
 
@@ -155,10 +155,15 @@ def spatial_join(pages: DataFrame, queries: DataFrame,
             raise NotImplementedError(
                 "adaptive subdivision is implemented for the default grid")
         # adaptive subdivision (pipeline/skew.py): hot cells re-cover
-        # at res+1 on BOTH sides so the equi-join keys stay aligned
-        from ..pipeline.skew import hot_cells, subdivide_cover
+        # at res+1 on BOTH sides so the equi-join keys stay aligned.
+        # The collect is capped at the MAX_HOT_CELLS hottest (top-k =
+        # TakeOrdered, no full sort) — leaving a tail cell unsplit only
+        # costs balance, never correctness.
+        from ..pipeline.skew import MAX_HOT_CELLS, hot_cells, subdivide_cover
         hot = {r["cell"] for r in
-               hot_cells(p, subdivide_threshold).collect()}
+               hot_cells(p, subdivide_threshold)
+               .orderBy(F.col("n").desc()).limit(MAX_HOT_CELLS)
+               .collect()}
         if hot:
             p = subdivide_cover(p, hot, res)
             q = subdivide_cover(q.withColumnsRenamed(
@@ -182,7 +187,8 @@ def spatial_join(pages: DataFrame, queries: DataFrame,
 
 def spatio_temporal_join(pages: DataFrame, queries: DataFrame,
                          res: int = DEFAULT_RES,
-                         ts_col: str = "warc_ts") -> DataFrame:
+                         ts_col: str = "warc_ts",
+                         has_polygons: bool | None = None) -> DataFrame:
     """Spatial join + STAC datetime-interval filter on the page
     timestamp (a page is an instant item: interval [ts, ts], both
     bounds inclusive — reference crates/core/src/item.rs:527-554).
@@ -207,7 +213,7 @@ def spatio_temporal_join(pages: DataFrame, queries: DataFrame,
     spark = pages.sparkSession
     bdf = F.broadcast(spark.createDataFrame(
         bounds, "query_id long, t_start timestamp, t_end timestamp"))
-    sj = spatial_join(pages, queries, res=res)
+    sj = spatial_join(pages, queries, res=res, has_polygons=has_polygons)
     return (sj.join(bdf, "query_id")
             .where((F.col("t_start").isNull() | (F.col(ts_col) >= F.col("t_start")))
                    & (F.col("t_end").isNull() | (F.col(ts_col) <= F.col("t_end")))))

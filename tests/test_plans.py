@@ -95,3 +95,47 @@ def test_empty_shortcircuit_is_plan_time(stac_items):
     opt = _optimized(df)
     assert "LocalRelation" in opt or "Filter false" in opt
     assert "Scan" not in opt or "LocalRelation" in opt
+
+
+def test_polygon_free_join_runs_zero_jobs(spark, queries_df):
+    """has_polygons=False keeps plan CONSTRUCTION fully lazy: no
+    eager probe action hides in spatial_join (round-2 VERDICT
+    Next-round #7). Verified by job-group accounting."""
+    from rustac_spark import DATA_DIR
+    from rustac_spark.geocode import with_geocode
+    sc = spark.sparkContext
+    pages = with_geocode(
+        spark.read.parquet(f"{DATA_DIR}/pages_sf0.001.parquet"))
+    q = queries_df.where(F.col("kind") != "polygon")
+    sc.setJobGroup("lazy-probe", "plan construction must run no jobs")
+    out = spatial_join(pages, q, page_cols=["url"], has_polygons=False)
+    assert sc.statusTracker().getJobIdsForGroup("lazy-probe") == []
+    sc.setJobGroup("lazy-probe-act", "first action")
+    assert out.count() > 0
+    assert sc.statusTracker().getJobIdsForGroup("lazy-probe-act") != []
+    sc.setJobGroup(None, None)
+
+
+def test_hot_cell_membership_is_inset_not_literal_array(spark):
+    """O(10^4) hot cells must compile to a single InSet lookup, not a
+    10^4-element literal array scanned per row (round-2 VERDICT
+    What's-wrong #5 / Next-round #6)."""
+    from rustac_spark.geo.cells import DEFAULT_RES, encode_py
+    from rustac_spark.pipeline.skew import subdivide_cover
+
+    hot = {encode_py(DEFAULT_RES, x, y)
+           for x in range(100) for y in range(100)}
+    assert len(hot) == 10_000
+    df = spark.range(100).select(
+        (F.col("id") * 0.001 - 50).alias("xmin"),
+        (F.col("id") * 0.001 - 20).alias("ymin"),
+        (F.col("id") * 0.001 - 49.9).alias("xmax"),
+        (F.col("id") * 0.001 - 19.9).alias("ymax"),
+    ).withColumn("cell", F.lit(0).cast("long"))
+    out = subdivide_cover(df, hot, DEFAULT_RES)
+    plan = _physical(out)
+    assert "array_contains" not in plan
+    # the plan stays bounded: the 10^4 values live in one hash set,
+    # not enumerated per-row in the expression tree
+    assert len(plan) < 50_000, f"plan bloated to {len(plan)} chars"
+    out.count()  # and it executes
