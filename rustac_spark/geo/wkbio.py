@@ -177,20 +177,34 @@ def parse_wkb(buf: bytes):
 
 def geometry_pieces(parsed):
     """Flatten a parsed geometry into primitive pieces:
-    ("point",(x,y)) | ("line", ndarray[n,2]) | ("poly", [rings])."""
+    ("point",(x,y)) | ("line", ndarray[n,2]) | ("poly", [rings]).
+
+    Zero-vertex pieces (empty rings/linestrings, WKB EMPTY variants)
+    are dropped: a degenerate piece covers no area, so callers get the
+    constant-false fast path instead of a crash downstream (round-2
+    ADVICE — wkb_bounds raised on an s_intersects filter containing a
+    polygon with an empty exterior ring)."""
     kind, data = parsed
     if kind == "point":
         return [("point", data)]
     if kind == "linestring":
-        return [("line", data)]
+        return [("line", data)] if len(data) else []
     if kind == "polygon":
-        return [("poly", data)]
+        # an empty EXTERIOR ring voids the whole polygon (holes alone
+        # cover nothing); empty holes are simply dropped
+        if not len(data) or not len(data[0]):
+            return []
+        return [("poly", [r for r in data if len(r)])]
     if kind == "multipoint":
         return [("point", p) for p in data]
     if kind == "multilinestring":
-        return [("line", line) for line in data]
+        return [("line", line) for line in data if len(line)]
     if kind == "multipolygon":
-        return [("poly", rings) for rings in data]
+        out = []
+        for rings in data:
+            if len(rings) and len(rings[0]):
+                out.append(("poly", [r for r in rings if len(r)]))
+        return out
     if kind == "geometrycollection":
         out = []
         for sub in data:

@@ -204,8 +204,11 @@ def near_dup_pairs_cosine(vectors: DataFrame, threshold: float = 0.95,
     - else `lsh_bits` given: sign-LSH blocking — each vector lands in
       its hyperplane-sign bucket plus all 1-bit-flip buckets
       (multi-probe), pairs sharing any bucket are scored once,
-      similarity is exact; a near-dup pair is missed only if its two
-      vectors differ in ≥2 sign bits (rare at high thresholds);
+      similarity is exact; with the probe applied to BOTH sides, a
+      pair differing in exactly 2 sign bits i,j still collides
+      (a^(1<<i) == b^(1<<j)), so a near-dup pair is missed only if
+      its two vectors differ in ≥3 sign bits (rare at high
+      thresholds) — size lsh_bits against that recall contract;
     - else: exhaustive crossJoin — correct, but the caller owns the
       quadratic cost; prefer one of the blockings at scale."""
     v = vectors.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"),

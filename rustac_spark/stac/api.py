@@ -70,16 +70,32 @@ def search_page_keyset(df: DataFrame, search: Search,
     if after:
         vals = after["keys"]
         # lexicographic (k1,k2,...) > (v1,v2,...) with per-key
-        # direction: OR over strict-prefix-equal branches
+        # direction: OR over strict-prefix-equal branches.
+        # NULL-aware (round-2 ADVICE): the sort is NULLS LAST in both
+        # directions, so positionally NULL is the greatest key value —
+        # plain </> would evaluate to NULL (filtered) at the first
+        # null boundary and silently drop the rest of the result set.
+        #   strictly-after(col, v): v null  → False (nothing follows
+        #     the null block within this key; later keys break ties);
+        #     v non-null → (col >/< v) OR col IS NULL.
+        #   equal(col, v): v null → col IS NULL; else col == v.
+        def _after(f: str, asc: bool, v):
+            c = F.col(_q(f))
+            if v is None:
+                return F.lit(False)
+            return ((c > F.lit(v)) if asc else (c < F.lit(v))) | c.isNull()
+
+        def _eq(f: str, v):
+            c = F.col(_q(f))
+            return c.isNull() if v is None else (c == F.lit(v))
+
         pred = None
         for i in range(len(keys)):
             branch = None
             for j in range(i):
-                eq = F.col(_q(keys[j][0])) == F.lit(vals[j])
+                eq = _eq(keys[j][0], vals[j])
                 branch = eq if branch is None else (branch & eq)
-            f, asc = keys[i]
-            cmp = (F.col(_q(f)) > F.lit(vals[i]) if asc
-                   else F.col(_q(f)) < F.lit(vals[i]))
+            cmp = _after(keys[i][0], keys[i][1], vals[i])
             branch = cmp if branch is None else (branch & cmp)
             pred = branch if pred is None else (pred | branch)
         plan = plan.where(pred)

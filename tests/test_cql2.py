@@ -232,6 +232,30 @@ def test_s_intersects_empty_geometry(spark):
     assert evaluate(ast, {"geometry": bbox_polygon_wkb(0, 0, 1, 1)}) is False
 
 
+def test_s_intersects_empty_ring_polygon(spark):
+    """A polygon with a zero-vertex exterior ring must COMPILE to
+    constant-false, not crash wkb_bounds (round-2 ADVICE): degenerate
+    pieces are dropped in geometry_pieces."""
+    import struct
+
+    from rustac_spark.geo.colpreds import pieces_column_pred
+    from rustac_spark.geo.wkbio import geometry_pieces, parse_wkb
+
+    # WKB: little-endian, type=3 (Polygon), 1 ring with 0 points —
+    # pieces drop to [] and the Column pred is the constant-false
+    # fast path (wkb_bounds is never reached)
+    empty_poly = struct.pack("<BIII", 1, 3, 1, 0)
+    assert geometry_pieces(parse_wkb(empty_poly)) == []
+    assert pieces_column_pred([]) is not None
+    # a GeoJSON polygon with no rings compiles end-to-end, no crash
+    col, short, refines = compile_filter(
+        {"op": "s_intersects", "args": [
+            {"property": "geometry"},
+            {"type": "Polygon", "coordinates": []}]},
+        ["id", "geometry", "bbox"])
+    assert not short and col is not None and refines == []
+
+
 def test_s_intersects_evaluate():
     from rustac_spark.geo.wkbio import bbox_polygon_wkb
     from rustac_spark.stac.cql2 import evaluate

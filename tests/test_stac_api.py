@@ -69,6 +69,36 @@ def test_search_page_keyset(stac_items):
     assert len(p1.rows) == 10 and p1.rows[-1]["id"] < p2.rows[0]["id"]
 
 
+def test_search_page_keyset_null_sort_keys(spark):
+    """Page boundaries landing inside the NULL block of a nullable
+    sortby column must not lose rows (round-2 ADVICE medium): NULL is
+    positionally the greatest per-key value under NULLS LAST."""
+    from rustac_spark.stac.api import search_page, search_page_keyset
+    rows = [(f"id-{i:02d}",
+             None if i % 3 == 0 else float(i % 7),
+             None if i in (4, 11) else f"g{i % 5}")
+            for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "id string, score double, grp string")
+    for sortby in ("score,id", "-score,id", "grp,-score,id", "-grp,id"):
+        s = Search(sortby=sortby, limit=4)
+        seen, token = [], None
+        for _ in range(20):
+            p = search_page_keyset(df, s, after=token)
+            seen.extend(r["id"] for r in p.rows)
+            if p.next_token is None:
+                break
+            token = p.next_token
+        ref, skip = [], 0
+        while True:
+            p = search_page(df, s, skip=skip)
+            ref.extend(r["id"] for r in p.rows)
+            if p.next_token is None:
+                break
+            skip = p.next_token["skip"]
+        assert seen == ref and len(seen) == 30, sortby
+
+
 def test_queryables_and_conformance(stac_items):
     from rustac_spark.stac.api import conformance, queryables
     q = queryables(stac_items)
