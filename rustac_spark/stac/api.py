@@ -124,6 +124,17 @@ CONFORMANCE_CLASSES = [
     "https://api.stacspec.org/v1.0.0-rc.3/item-search#filter",
     "http://www.opengis.net/spec/ogcapi-features-1/1.0/conf/core",
     "http://www.opengis.net/spec/ogcapi-features-1/1.0/conf/geojson",
+    # CQL2 capability classes actually backed by the compiler
+    # (stac/cql2.py): comparisons/IN/LIKE/BETWEEN, casei+accenti,
+    # s_intersects, strict temporal ops, array predicates, arithmetic
+    "http://www.opengis.net/spec/cql2/1.0/conf/basic-cql2",
+    "http://www.opengis.net/spec/cql2/1.0/conf/advanced-comparison-operators",
+    "http://www.opengis.net/spec/cql2/1.0/conf/case-insensitive-comparison",
+    "http://www.opengis.net/spec/cql2/1.0/conf/accent-insensitive-comparison",
+    "http://www.opengis.net/spec/cql2/1.0/conf/basic-spatial-functions",
+    "http://www.opengis.net/spec/cql2/1.0/conf/temporal-functions",
+    "http://www.opengis.net/spec/cql2/1.0/conf/array-functions",
+    "http://www.opengis.net/spec/cql2/1.0/conf/arithmetic",
 ]
 
 
@@ -153,8 +164,23 @@ def queryables(df: DataFrame) -> dict:
         t = field.dataType.simpleString()
         if t in _SPARK_TO_JSONSCHEMA:
             props[field.name] = {"type": _SPARK_TO_JSONSCHEMA[t]}
+            # string queryables accept the casei()/accenti() wrappers
+            # the CQL2 compiler implements
+            if _SPARK_TO_JSONSCHEMA[t] == "string":
+                props[field.name]["x-cql2-functions"] = ["casei",
+                                                         "accenti"]
         elif t.startswith("timestamp"):
             props[field.name] = {"type": "string", "format": "date-time"}
+        elif t.startswith("array<"):
+            inner = t[len("array<"):-1]
+            if inner in _SPARK_TO_JSONSCHEMA:
+                # array queryables take the a_* predicates
+                props[field.name] = {
+                    "type": "array",
+                    "items": {"type": _SPARK_TO_JSONSCHEMA[inner]},
+                    "x-cql2-functions": ["a_equals", "a_contains",
+                                         "a_containedBy", "a_overlaps"],
+                }
     return {
         "$schema": "https://json-schema.org/draft/2019-09/schema",
         "$id": "https://stac-api.example.com/queryables",

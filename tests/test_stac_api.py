@@ -102,16 +102,25 @@ def test_search_page_keyset_null_sort_keys(spark):
 def test_queryables_and_conformance(stac_items):
     from rustac_spark.stac.api import conformance, queryables
     q = queryables(stac_items)
-    assert q["properties"]["id"] == {"type": "string"}
+    assert q["properties"]["id"] == {
+        "type": "string", "x-cql2-functions": ["casei", "accenti"]}
     assert q["properties"]["eo:cloud_cover"] == {"type": "number"}
     assert q["properties"]["sat:relative_orbit"] == {"type": "integer"}
     assert q["properties"]["datetime"] == {"type": "string",
                                            "format": "date-time"}
-    assert "geometry" not in q["properties"]  # non-scalar: not advertised
+    # scalar-array columns are advertised with their a_* predicates
+    assert q["properties"]["stac_extensions"]["type"] == "array"
+    assert "a_contains" in \
+        q["properties"]["stac_extensions"]["x-cql2-functions"]
+    assert "geometry" not in q["properties"]  # binary: not advertised
     assert q["additionalProperties"] is True
     classes = conformance()["conformsTo"]
     assert "https://api.stacspec.org/v1.0.0/core" in classes
     assert "https://api.stacspec.org/v1.0.0/item-search" in classes
+    assert ("http://www.opengis.net/spec/cql2/1.0/conf/array-functions"
+            in classes)
+    assert ("http://www.opengis.net/spec/cql2/1.0/conf/"
+            "accent-insensitive-comparison" in classes)
 
 
 def test_format_inference():
