@@ -18,6 +18,8 @@ Two physical strategies behind one semantic:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from .cells import DEFAULT_RES, cell_of_point, cell_size_deg, k_ring
@@ -98,6 +100,50 @@ def knn_cells(pages: DataFrame, queries: DataFrame, k: int = 5,
                       | (F.col("dmax") > safe_km)))
     ok = topk.join(F.broadcast(flagged.select("query_id")), "query_id",
                    "left_anti")
-    redo = queries.join(F.broadcast(flagged.select("query_id")), "query_id")
-    redone = knn_bruteforce(pages, redo, k)
+    # bounded re-run: with a FULL candidate top-k, its k-th distance
+    # (dmax) is an upper bound on the true k-th distance (candidates ⊆
+    # pages), so the exact pass only needs pages inside that radius —
+    # a pure-Column lat/lon band that pushes into the scan instead of
+    # a full-table pass. Underflow queries (n < k: dmax is only the
+    # n-th distance, no valid bound) re-run unbounded (dmax null).
+    bound = F.when(F.col("n") >= k, F.col("dmax")).alias("dmax")
+    redo = queries.join(
+        F.broadcast(flagged.select("query_id", bound)), "query_id")
+    redone = knn_bruteforce_bounded(pages, redo, k)
     return ok.select("query_id", "rank", "url", "dist_km").unionByName(redone)
+
+
+def knn_bruteforce_bounded(pages: DataFrame, queries: DataFrame,
+                           k: int = 5) -> DataFrame:
+    """Exact kNN over a per-query search radius `dmax` km (nullable —
+    null means unbounded). Same output contract as knn_bruteforce."""
+    q = F.broadcast(queries.select(
+        "query_id",
+        F.col("qxmin").alias("qlon"), F.col("qymin").alias("qlat"),
+        F.col("dmax")))
+    # |Δlat| ≤ d/R exactly; 111.0 < 111.195 (spherical km/deg) keeps
+    # the band conservatively wide
+    dlat = F.col("dmax") / F.lit(111.0)
+    # longitude width at the band's worst (most poleward) latitude.
+    # From haversine: sin(|Δλ|/2) ≤ sin(d/2R)/cos(band_lat), and
+    # 2·asin(x) ≤ π·x, so the linear estimate times π/2 is a PROVABLE
+    # upper bound for every radius (it degrades to ≥180° exactly when
+    # the radius stops constraining longitude at all). Cap at 360°.
+    band_lat = F.least(F.lit(89.9999),
+                       F.abs(F.col("qlat")) + dlat)
+    dlon = F.least(F.lit(360.0),
+                   F.col("dmax")
+                   / (F.lit(111.0) * F.cos(F.radians(band_lat)))
+                   * F.lit(math.pi / 2.0))
+    in_band = (F.col("dmax").isNull()
+               | ((F.abs(F.col("lat") - F.col("qlat")) <= dlat)
+                  & ((F.abs(F.col("lon") - F.col("qlon")) <= dlon)
+                     # antimeridian wrap
+                     | (F.lit(360.0) - F.abs(F.col("lon") - F.col("qlon"))
+                        <= dlon))))
+    cand = (pages.select("url", "lat", "lon")
+            .join(q)
+            .where(in_band)
+            .withColumn("dist_km", haversine_km(
+                F.col("lat"), F.col("lon"), F.col("qlat"), F.col("qlon"))))
+    return _rank_topk(cand, k).select("query_id", "rank", "url", "dist_km")

@@ -218,6 +218,35 @@ def test_knn_cells_polar_adversarial(spark):
     assert got == ["near", "out_close"]
 
 
+def test_knn_cells_underflow_unbounded_fallback(spark):
+    """n < k means the candidate dmax is NOT a k-th-distance bound:
+    the re-run must be unbounded (far page still found)."""
+    pages = spark.createDataFrame(
+        [("a", 10.0, 10.0), ("b", -40.0, 120.0)],
+        "url string, lat double, lon double")
+    queries = spark.createDataFrame(
+        [(0, 0.0, 0.0)], "query_id long, qxmin double, qymin double")
+    got = [r["url"] for r in knn_cells(pages, queries, k=5)
+           .orderBy("rank").collect()]
+    exp = [r["url"] for r in knn_bruteforce(pages, queries, k=5)
+           .orderBy("rank").collect()]
+    assert got == exp and len(got) == 2
+
+
+def test_knn_bounded_band_wraps_antimeridian(spark):
+    """The bounded exact pass's longitude band must wrap ±180°."""
+    from rustac_spark.geo.knn import knn_bruteforce_bounded
+    pages = spark.createDataFrame(
+        [("west", 0.0, -179.9), ("far", 0.0, 90.0)],
+        "url string, lat double, lon double")
+    queries = spark.createDataFrame(
+        [(0, 179.9, 0.0, 50.0)],
+        "query_id long, qxmin double, qymin double, dmax double")
+    got = [r["url"] for r in knn_bruteforce_bounded(pages, queries, k=1)
+           .collect()]
+    assert got == ["west"]  # 0.2° across the antimeridian ≈ 22 km
+
+
 def test_tiles_vs_duckdb(spark, pages_geo):
     z = 10
     out = explode_tiles(pages_geo.select("url", "xmin", "ymin",
