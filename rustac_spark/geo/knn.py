@@ -64,9 +64,17 @@ def knn_cells(pages: DataFrame, queries: DataFrame, k: int = 5,
     cell lies within `rings` of the query's cell, then exact re-rank.
 
     Exactness bound: the disk of `rings` cells contains every page
-    within (rings-1)·min_cell_edge degrees of the query; queries whose
-    k-th neighbour might lie outside (fewer than k candidates found
-    strictly inside the safe radius) are re-run via brute force.
+    within (rings-1)·min_cell_edge degrees of the query, scaled per
+    query by cos(lat) for longitude shrinkage; queries whose k-th
+    neighbour might lie outside are re-run exactly over a bounded
+    lat/lon band.
+
+    Physical shape: the candidate top-k (≤ |queries|·k rows) is
+    persisted, and the per-query verdict is decided driver-side from
+    one small collect — so the expensive candidate join runs ONCE, not
+    once per consumer branch (verdict / ok-branch / fallback). Eager
+    like spatio_temporal_join's bound collection: queries are small by
+    contract.
     """
     pc = pages.select("url", "lat", "lon").withColumn(
         "cell", cell_of_point(F.col("lon"), F.col("lat"), res))
@@ -78,7 +86,7 @@ def knn_cells(pages: DataFrame, queries: DataFrame, k: int = 5,
     cand = (pc.join(F.broadcast(q.drop("qcell")), "cell")
             .withColumn("dist_km", haversine_km(
                 F.col("lat"), F.col("lon"), F.col("qlat"), F.col("qlon"))))
-    topk = _rank_topk(cand, k)
+    topk = _rank_topk(cand, k).persist()
 
     # safe radius: (rings) cells minus one diagonal. 1° of longitude is
     # 111·cos(lat) km, so the equatorial bound overstates coverage at
@@ -86,31 +94,38 @@ def knn_cells(pages: DataFrame, queries: DataFrame, k: int = 5,
     # far outside the ring). Scale per query by the WORST latitude the
     # ring can reach (|qlat| + rings·dy, capped at the pole) — at the
     # pole the bound collapses to 0 and every query falls back to the
-    # exact brute-force path.
+    # exact (bounded) brute-force path.
     dx, dy = cell_size_deg(res)
     base_km = rings * min(dx, dy) * 111.0 * 0.5
-    worst_lat = F.least(F.lit(90.0),
-                        F.abs(F.col("qlat")) + F.lit(rings * dy))
-    safe_km = F.lit(base_km) * F.cos(F.radians(worst_lat))
-    stats = topk.groupBy("query_id").agg(
-        F.count("*").alias("n"), F.max("dist_km").alias("dmax"))
-    flagged = (queries.select("query_id", F.col("qymin").alias("qlat"))
-               .join(stats, "query_id", "left")
-               .where(F.col("n").isNull() | (F.col("n") < k)
-                      | (F.col("dmax") > safe_km)))
-    ok = topk.join(F.broadcast(flagged.select("query_id")), "query_id",
-                   "left_anti")
-    # bounded re-run: with a FULL candidate top-k, its k-th distance
-    # (dmax) is an upper bound on the true k-th distance (candidates ⊆
-    # pages), so the exact pass only needs pages inside that radius —
-    # a pure-Column lat/lon band that pushes into the scan instead of
-    # a full-table pass. Underflow queries (n < k: dmax is only the
-    # n-th distance, no valid bound) re-run unbounded (dmax null).
-    bound = F.when(F.col("n") >= k, F.col("dmax")).alias("dmax")
+    stats = {r["query_id"]: (r["n"], r["dmax"])
+             for r in topk.groupBy("query_id")
+             .agg(F.count("*").alias("n"),
+                  F.max("dist_km").alias("dmax")).collect()}
+    flagged: dict[int, float | None] = {}
+    for r in queries.select("query_id",
+                            F.col("qymin").alias("qlat")).collect():
+        n, dmax = stats.get(r["query_id"], (0, None))
+        worst = min(90.0, abs(r["qlat"]) + rings * dy)
+        safe = base_km * math.cos(math.radians(worst))
+        if n < k:
+            # underflow: dmax is only the n-th distance, no valid
+            # bound — re-run unbounded
+            flagged[r["query_id"]] = None
+        elif dmax > safe:
+            # full top-k: its k-th distance bounds the true k-th
+            # (candidates ⊆ pages) — re-run over that band only
+            flagged[r["query_id"]] = float(dmax)
+    out_cols = ["query_id", "rank", "url", "dist_km"]
+    if not flagged:
+        return topk.select(*out_cols)
+    ok = topk.where(~F.col("query_id").isin(list(flagged)))
+    spark = pages.sparkSession
     redo = queries.join(
-        F.broadcast(flagged.select("query_id", bound)), "query_id")
+        F.broadcast(spark.createDataFrame(
+            list(flagged.items()), "query_id long, dmax double")),
+        "query_id")
     redone = knn_bruteforce_bounded(pages, redo, k)
-    return ok.select("query_id", "rank", "url", "dist_km").unionByName(redone)
+    return ok.select(*out_cols).unionByName(redone)
 
 
 def knn_bruteforce_bounded(pages: DataFrame, queries: DataFrame,
