@@ -1,0 +1,79 @@
+"""Near-dup CLUSTER formation: connected components over a pair graph.
+
+Every dedup family in this engine (exact hash groups, MinHash/SimHash
+banding, n-gram Jaccard, embedding cosine) emits PAIRS; a training-data
+pipeline then needs the transitive closure — "keep one doc per
+component" — which is a distributed connected-components problem, not
+a groupBy. The reference has no such operator (single-node DuckDB);
+this is a north-rule first-class addition like the pair generators.
+
+Algorithm: iterative min-label propagation.
+
+    label(u) ← min(label(u), min_{(u,v)∈E} label(v))
+
+repeated to convergence — each round is one shuffle join + one
+map-side-combined min-aggregation, both JVM-side. Rounds needed =
+graph diameter; near-dup components are dense (banding emits
+near-cliques), so diameter is tiny in practice — the classic
+large-star/small-star contraction (Kiveris et al., "Connected
+Components in MapReduce and Beyond") is the drop-in upgrade if a
+pathological chain-shaped graph ever matters. Each round persists its
+label table and unpersists the previous one, so lineage stays O(1)
+and a failed round recomputes one join, not the whole history.
+
+Convergence is detected with a cheap `changed == 0` probe (LIMIT 1
+semantics via count on the persisted diff), driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(pairs: DataFrame, a_col: str = "a",
+                         b_col: str = "b", max_iter: int = 25,
+                         ) -> DataFrame:
+    """(a, b) undirected pair rows → (doc_id, cluster_id), where
+    cluster_id is the component's minimum doc id (deterministic,
+    order-independent). Only ids that appear in ≥1 pair are emitted —
+    singletons are their own trivial cluster and never shuffle."""
+    e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    edges = e.union(e.select(F.col("v").alias("u"),
+                             F.col("u").alias("v"))).distinct().persist()
+    labels = (edges.select("u").distinct()
+              .withColumn("label", F.col("u")).persist())
+    labels.count()  # materialize before the loop
+
+    for _ in range(max_iter):
+        nbr_min = (edges
+                   .join(labels.select(F.col("u").alias("v"),
+                                       F.col("label").alias("vlabel")),
+                         "v")
+                   .groupBy("u")
+                   .agg(F.min("vlabel").alias("nbr")))
+        new_labels = (labels.join(nbr_min, "u", "left")
+                      .select("u", F.least("label", "nbr").alias("label"))
+                      .persist())
+        changed = (new_labels.join(
+            labels.select("u", F.col("label").alias("old")), "u")
+            .where(F.col("label") != F.col("old")).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("u").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
+def dedup_cluster_assignments(docs: DataFrame, threshold: float = 0.3,
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """End-to-end near-dup clustering on exact n-gram Jaccard pairs:
+    (doc_id, cluster_id) for every doc in a non-trivial component.
+    The canonical keep-rule is `doc_id == cluster_id` (keep the
+    component minimum); callers drop the rest."""
+    from .ngram import jaccard_pairs
+    pairs = jaccard_pairs(docs, threshold=threshold, id_col=id_col,
+                          text_col=text_col, max_df=None)
+    return connected_components(pairs)
