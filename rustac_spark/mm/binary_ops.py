@@ -1,9 +1,9 @@
 """Multimodal column plumbing (north-rule training-data operators).
 
 Images/audio/video are opaque ``binary`` columns with typed metadata.
-Uncompressed image formats (PPM P6, 24-bit BMP) decode, feature-extract
-and resize with REAL pure-numpy kernels (mm/codecs.py); compressed
-formats (PNG/JPEG/GIF) and video frame sampling stay STUBBED behind
+PPM P6, 24-bit BMP and baseline PNG decode, feature-extract and
+resize with REAL pure-numpy(+stdlib zlib) kernels (mm/codecs.py);
+JPEG/GIF and video frame sampling stay STUBBED behind
 ``NotImplementedError`` or a deterministic fake (Pillow/ffmpeg are not
 in this container) — the Spark-side plumbing (schemas, Arrow batch
 shapes, partitioning) is identical for both, so adding Pillow later is

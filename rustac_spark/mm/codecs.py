@@ -1,16 +1,19 @@
-"""Pure-numpy image codecs for uncompressed formats (PPM P6, 24-bit
-BMP) — the REAL decode kernels behind mm.binary_ops.
+"""Pure-numpy image codecs (PPM P6, 24-bit BMP, and baseline PNG) —
+the REAL decode kernels behind mm.binary_ops.
 
-Pillow/ffmpeg are not installable in this environment, so compressed
-formats (PNG/JPEG/GIF) stay honestly stubbed in binary_ops; these two
-formats need no external codec and make the decode → feature-extract →
-resize pipeline real end-to-end: header parse, pixel-array decode,
-vectorized nearest-neighbor resize, re-encode.
+Pillow/ffmpeg are not installable in this environment. PPM/BMP need
+no codec at all; PNG needs only stdlib zlib, so a from-scratch
+baseline decoder lives here too (8-bit depth, all 5 scanline filters,
+color types 0/2/3/4/6, non-interlaced — the overwhelming majority of
+real-world PNGs). JPEG (DCT/huffman) and GIF (LZW) remain honestly
+raised in ``decode_image``; video frame sampling stays a labeled stub
+in binary_ops.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -96,6 +99,121 @@ def bmp_decode(data: bytes) -> np.ndarray:
     return arr[:, :, ::-1].copy()  # BGR→RGB
 
 
+# ------------------------------------------------------- PNG (baseline)
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunk(typ: bytes, payload: bytes) -> bytes:
+    return (struct.pack(">I", len(payload)) + typ + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF))
+
+
+def png_encode(arr: np.ndarray, level: int = 6) -> bytes:
+    """(h, w, 3) uint8 RGB → PNG (color type 2, bit depth 8,
+    filter-0 scanlines, non-interlaced)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("png_encode expects RGB")
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw, level))
+            + _png_chunk(b"IEND", b""))
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
+    """Reverse the 5 PNG scanline filters (spec §6) → (h, w*bpp)."""
+    stride = w * bpp
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        row = np.frombuffer(raw, np.uint8, stride, pos + 1).copy()
+        pos += stride + 1
+        if f == 0:                      # None
+            pass
+        elif f == 1:                    # Sub (left dependency: scan)
+            for i in range(bpp, stride):
+                row[i] = (int(row[i]) + int(row[i - bpp])) & 0xFF
+        elif f == 2:                    # Up (vectorized, uint8 wraps)
+            row += prev
+        elif f == 3:                    # Average
+            for i in range(stride):
+                left = int(row[i - bpp]) if i >= bpp else 0
+                row[i] = (int(row[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:                    # Paeth
+            for i in range(stride):
+                a = int(row[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                row[i] = (int(row[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = row
+        prev = row
+    return out
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Baseline PNG → (h, w, 3) uint8 RGB. Supports bit depth 8,
+    color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+    6 (RGBA; alpha dropped), non-interlaced — stdlib zlib only."""
+    if not data.startswith(PNG_SIG):
+        raise ValueError("not a PNG")
+    pos = len(PNG_SIG)
+    ihdr = None
+    plte = None
+    idat = []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        typ = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + payload + crc
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(payload, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(payload)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0:
+        raise NotImplementedError(
+            f"PNG bit depth {depth}/compression {comp} unsupported")
+    if interlace != 0:
+        raise NotImplementedError("interlaced (Adam7) PNG unsupported")
+    if ctype not in _PNG_CHANNELS:
+        raise NotImplementedError(f"PNG color type {ctype} unsupported")
+    bpp = _PNG_CHANNELS[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (w * bpp + 1):
+        raise ValueError("PNG pixel data size mismatch")
+    px = _png_unfilter(raw, h, w, bpp).reshape(h, w, bpp)
+    if ctype == 2:
+        return px.copy()
+    if ctype == 6:
+        return px[:, :, :3].copy()
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    # ctype == 3: palette
+    if plte is None:
+        raise ValueError("paletted PNG missing PLTE")
+    return plte[px[:, :, 0]]
+
+
 # ------------------------------------------------------ shared kernels
 
 def decode_image(data: bytes) -> np.ndarray:
@@ -105,9 +223,11 @@ def decode_image(data: bytes) -> np.ndarray:
         return ppm_decode(data)
     if data.startswith(b"BM"):
         return bmp_decode(data)
+    if data.startswith(PNG_SIG):
+        return png_decode(data)
     raise NotImplementedError(
-        "only uncompressed PPM/BMP decode in this environment; "
-        "PNG/JPEG/GIF need Pillow")
+        "PPM/BMP/PNG decode with pure numpy+zlib in this environment; "
+        "JPEG/GIF need Pillow")
 
 
 def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:

@@ -59,10 +59,13 @@ def test_resize_nearest_exact():
 
 
 def test_decode_resize_framesample_plumbing(spark):
+    from rustac_spark.mm.codecs import png_encode
     ppm = ppm_encode(_checker(6, 4))
     bmp = bmp_encode(np.full((3, 5, 3), 100, dtype=np.uint8))
+    png = png_encode(np.full((7, 2, 3), 40, dtype=np.uint8))
     rows = [("ppm", bytearray(ppm)), ("bmp", bytearray(bmp)),
-            ("png", bytearray(b"\x89PNG\r\n" + bytes(range(64)))),
+            ("png", bytearray(png)),
+            ("jpg", bytearray(b"\xff\xd8\xff" + bytes(range(64)))),
             ("vid", bytearray(b"RIFF" + bytes(range(200)))),
             ("bad", bytearray(b"nope"))]
     df = spark.createDataFrame(rows, ["url", "payload"])
@@ -71,7 +74,9 @@ def test_decode_resize_framesample_plumbing(spark):
     assert (feats["ppm"]["width"], feats["ppm"]["height"]) == (4, 6)
     assert (feats["bmp"]["width"], feats["bmp"]["height"]) == (5, 3)
     assert abs(feats["bmp"]["features"][3] - 100 / 255) < 1e-6
-    assert feats["png"]["width"] is None  # honest stub: needs Pillow
+    assert (feats["png"]["width"], feats["png"]["height"]) == (2, 7)
+    assert abs(feats["png"]["features"][3] - 40 / 255) < 1e-6
+    assert feats["jpg"]["width"] is None  # honest stub: needs Pillow
     assert feats["bad"]["width"] is None  # graceful non-image handling
 
     res = {r["url"]: r for r in resize_images(df, 128, 96).collect()}
@@ -87,3 +92,97 @@ def test_decode_resize_framesample_plumbing(spark):
         by_url.setdefault(r["url"], []).append(r["frame_idx"])
     assert len(by_url["vid"]) >= 2
     assert by_url["vid"] == sorted(by_url["vid"])
+
+
+def _png_filter_forward(arr, ftype):
+    """Independent forward-filter oracle (PNG spec §6) to exercise the
+    decoder's unfilter paths with every filter type."""
+    h, w, c = arr.shape
+    stride = w * c
+    flat = arr.reshape(h, stride).astype(np.int32)
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        row = flat[y]
+        left = np.concatenate([np.zeros(c, np.int32), row[:-c]])
+        uleft = np.concatenate([np.zeros(c, np.int32), prev[:-c]])
+        if ftype == 0:
+            f = row
+        elif ftype == 1:
+            f = row - left
+        elif ftype == 2:
+            f = row - prev
+        elif ftype == 3:
+            f = row - ((left + prev) >> 1)
+        else:  # Paeth
+            p = left + prev - uleft
+            pa, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                          np.abs(p - uleft))
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, uleft))
+            f = row - pred
+        out += bytes([ftype]) + bytes((f & 0xFF).astype(np.uint8))
+        prev = row
+    return bytes(out)
+
+
+def test_png_roundtrip_and_all_filters():
+    import struct
+    import zlib
+
+    from rustac_spark.mm.codecs import (
+        PNG_SIG, _png_chunk, png_decode, png_encode,
+    )
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, (9, 5, 3), dtype=np.uint8)
+    assert np.array_equal(png_decode(png_encode(arr)), arr)
+
+    # every filter type decodes back to the original pixels
+    for ftype in range(5):
+        raw = _png_filter_forward(arr, ftype)
+        ihdr = struct.pack(">IIBBBBB", 5, 9, 8, 2, 0, 0, 0)
+        data = (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(raw))
+                + _png_chunk(b"IEND", b""))
+        assert np.array_equal(png_decode(data), arr), f"filter {ftype}"
+
+
+def test_png_color_types():
+    import struct
+    import zlib
+
+    from rustac_spark.mm.codecs import PNG_SIG, _png_chunk, png_decode
+
+    def make(ctype, w, h, px_bytes, extra=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        raw = b"".join(b"\x00" + px_bytes[y * w * ch:(y + 1) * w * ch]
+                       for ch in [ {0:1,2:3,3:1,4:2,6:4}[ctype] ]
+                       for y in range(h))
+        return (PNG_SIG + _png_chunk(b"IHDR", ihdr) + extra
+                + _png_chunk(b"IDAT", zlib.compress(raw))
+                + _png_chunk(b"IEND", b""))
+
+    # grayscale replicates to RGB
+    g = make(0, 2, 2, bytes([10, 20, 30, 40]))
+    assert np.array_equal(png_decode(g)[:, :, 0],
+                          np.array([[10, 20], [30, 40]], np.uint8))
+    assert np.array_equal(png_decode(g)[:, :, 0], png_decode(g)[:, :, 2])
+    # RGBA drops alpha
+    rgba = make(6, 1, 1, bytes([1, 2, 3, 200]))
+    assert png_decode(rgba).tolist() == [[[1, 2, 3]]]
+    # gray+alpha
+    ga = make(4, 1, 1, bytes([77, 128]))
+    assert png_decode(ga).tolist() == [[[77, 77, 77]]]
+    # palette
+    plte = _png_chunk(b"PLTE", bytes([255, 0, 0, 0, 255, 0]))
+    pal = make(3, 2, 1, bytes([1, 0]), extra=plte)
+    assert png_decode(pal).tolist() == [[[0, 255, 0], [255, 0, 0]]]
+    # interlaced raises honestly
+    import pytest as _pytest
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)
+    bad = (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", zlib.compress(b"\x00\x01\x02\x03"))
+           + _png_chunk(b"IEND", b""))
+    with _pytest.raises(NotImplementedError):
+        png_decode(bad)
