@@ -69,6 +69,39 @@ def extract_image_features(df: DataFrame, bin_col: str = "payload",
     return df.select(url_col, bin_col).mapInPandas(gen, schema=DECODE_SCHEMA)
 
 
+AUDIO_SCHEMA = ("url string, n_samples long, n_channels int, "
+                "sample_rate int, duration_s double, rms double, "
+                "peak double, zcr double")
+
+
+def extract_audio_features(df: DataFrame, bin_col: str = "payload",
+                           url_col: str = "url") -> DataFrame:
+    """Batch WAV/PCM decode → per-clip features (duration, rms, peak,
+    zero-crossing rate) with the REAL pure-numpy kernel
+    (codecs.wav_decode); non-audio rows yield nulls (dead-letter
+    stage behavior, same contract as extract_image_features)."""
+    from .codecs import audio_features, wav_decode
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, data in zip(pdf[url_col], pdf[bin_col]):
+                try:
+                    s, rate = wav_decode(bytes(data))
+                    dur, rms, peak, zcr = audio_features(s, rate)
+                    rows.append((url, s.shape[0], s.shape[1], rate,
+                                 dur, rms, peak, zcr))
+                except (NotImplementedError, ValueError):
+                    rows.append((url, None, None, None,
+                                 None, None, None, None))
+            yield pd.DataFrame(rows, columns=[
+                "url", "n_samples", "n_channels", "sample_rate",
+                "duration_s", "rms", "peak", "zcr"])
+
+    return df.select(url_col, bin_col).mapInPandas(gen,
+                                                   schema=AUDIO_SCHEMA)
+
+
 def sample_frames_stub(data: bytes, every_n: int = 30,
                        max_frames: int = 8) -> list[bytes]:
     """STUB — deterministic fake video frame sampling (real impl:

@@ -214,6 +214,67 @@ def png_decode(data: bytes) -> np.ndarray:
     return plte[px[:, :, 0]]
 
 
+# ------------------------------------------------------ WAV (PCM)
+
+def wav_encode(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """(n,) or (n, ch) int16 PCM → RIFF/WAVE bytes."""
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    body = np.ascontiguousarray(s).tobytes()
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 2, 16)
+    data = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(body)) + body)
+    return b"RIFF" + struct.pack("<I", len(data)) + data
+
+
+def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM (8- or 16-bit) → ((n, ch) int16 array, rate).
+    Walks the chunk list like a real reader (fmt may not be first;
+    unknown chunks skipped)."""
+    if not data.startswith(b"RIFF") or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, body = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (clen,) = struct.unpack_from("<I", data, pos + 4)
+        payload = data[pos + 8:pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", payload)
+        elif cid == b"data":
+            body = payload
+    if fmt is None or body is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, ch, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            f"only PCM 8/16-bit WAV (fmt={audio_fmt}, bits={bits})")
+    if bits == 16:
+        s = np.frombuffer(body, dtype="<i2")
+    else:  # unsigned 8-bit → centered int16
+        s = (np.frombuffer(body, dtype=np.uint8).astype(np.int16)
+             - 128) << 8
+    n = len(s) // ch
+    return s[:n * ch].reshape(n, ch).copy(), rate
+
+
+def audio_features(samples: np.ndarray, rate: int) -> list[float]:
+    """[duration_s, rms, peak, zero_crossing_rate] over the mono mix,
+    amplitudes normalized to [-1, 1]."""
+    mono = samples.astype(np.float64).mean(axis=1) / 32768.0
+    n = len(mono)
+    dur = n / rate if rate else 0.0
+    rms = float(np.sqrt(np.mean(mono ** 2))) if n else 0.0
+    peak = float(np.abs(mono).max()) if n else 0.0
+    zc = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) \
+        if n > 1 else 0.0
+    return [float(dur), rms, peak, zc]
+
+
 # ------------------------------------------------------ shared kernels
 
 def decode_image(data: bytes) -> np.ndarray:

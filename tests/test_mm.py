@@ -186,3 +186,34 @@ def test_png_color_types():
            + _png_chunk(b"IEND", b""))
     with _pytest.raises(NotImplementedError):
         png_decode(bad)
+
+
+def test_wav_roundtrip_and_features(spark):
+    from rustac_spark.mm.binary_ops import extract_audio_features
+    from rustac_spark.mm.codecs import (audio_features, wav_decode,
+                                        wav_encode)
+
+    # 1 kHz square-ish wave at 16 kHz, 0.5 s, stereo
+    t = np.arange(8000)
+    mono = (np.where((t // 8) % 2 == 0, 12000, -12000)).astype(np.int16)
+    stereo = np.stack([mono, mono // 2], axis=1)
+    data = wav_encode(stereo, 16_000)
+    s, rate = wav_decode(data)
+    assert rate == 16_000 and np.array_equal(s, stereo)
+    dur, rms, peak, zcr = audio_features(s, rate)
+    assert abs(dur - 0.5) < 1e-9
+    assert 0 < rms <= peak <= 1.0
+    assert abs(zcr - 1 / 8) < 0.01  # sign flips every 8 samples
+
+    # 8-bit mono path + chunk-walk robustness (extra chunk before fmt)
+    pcm8 = wav_encode(mono[:100], 8_000)
+    s8, r8 = wav_decode(pcm8)
+    assert r8 == 8_000 and s8.shape == (100, 1)
+
+    rows = [("wav", bytearray(data)), ("bad", bytearray(b"RIFFxxxx"))]
+    df = spark.createDataFrame(rows, ["url", "payload"])
+    got = {r["url"]: r for r in extract_audio_features(df).collect()}
+    assert got["wav"]["n_samples"] == 8000
+    assert got["wav"]["n_channels"] == 2
+    assert abs(got["wav"]["duration_s"] - 0.5) < 1e-9
+    assert got["bad"]["n_samples"] is None
