@@ -214,6 +214,119 @@ def png_decode(data: bytes) -> np.ndarray:
     return plte[px[:, :, 0]]
 
 
+# ------------------------------------------------------- GIF (LZW)
+
+def _gif_lzw_decode(data: bytes, min_code: int, npix: int) -> bytes:
+    """GIF-variant LZW: variable code width (≤12 bits, LSB-first),
+    clear/end control codes, table rebuild on clear."""
+    clear = 1 << min_code
+    end = clear + 1
+    table: list[bytes] = []
+    code_size = min_code + 1
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, code_size, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        code_size = min_code + 1
+        prev = None
+
+    reset()
+    out: list[bytes] = []
+    n_out = 0
+    bitpos = 0
+    total_bits = len(data) * 8
+    while bitpos + code_size <= total_bits and n_out < npix:
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i:byte_i + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            reset()
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out.append(entry)
+        n_out += len(entry)
+        prev = entry
+    return b"".join(out)[:npix]
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def gif_decode(data: bytes) -> np.ndarray:
+    """GIF87a/89a first frame → (h, w, 3) uint8 RGB. From-scratch LZW
+    (no external codec); handles global/local color tables, extension
+    blocks, and interlaced row order."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    _, _, flags = struct.unpack_from("<HHB", data, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(-1, 3)
+        pos += n * 3
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:           # extension: label then sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += data[pos] + 1
+            pos += 1
+        elif b == 0x2C:         # image descriptor
+            _, _, w, h, iflags = struct.unpack_from("<HHHHB", data,
+                                                    pos + 1)
+            pos += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                ct = np.frombuffer(data, np.uint8, n * 3,
+                                   pos).reshape(-1, 3)
+                pos += n * 3
+            min_code = data[pos]
+            pos += 1
+            chunks = []
+            while data[pos] != 0:
+                ln = data[pos]
+                chunks.append(data[pos + 1:pos + 1 + ln])
+                pos += ln + 1
+            pos += 1
+            idx = _gif_lzw_decode(b"".join(chunks), min_code, w * h)
+            if len(idx) < w * h:
+                raise ValueError("GIF pixel data truncated")
+            arr = np.frombuffer(idx, np.uint8).reshape(h, w)
+            if iflags & 0x40:   # interlaced: reorder rows
+                out = np.empty_like(arr)
+                src = 0
+                for start, step in _GIF_INTERLACE_PASSES:
+                    rows = range(start, h, step)
+                    out[list(rows)] = arr[src:src + len(rows)]
+                    src += len(rows)
+                arr = out
+            if ct is None:
+                raise ValueError("GIF frame has no color table")
+            return ct[arr]
+        elif b == 0x3B:         # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    raise ValueError("GIF contains no image frame")
+
+
 # ------------------------------------------------------ WAV (PCM)
 
 def wav_encode(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
@@ -286,9 +399,11 @@ def decode_image(data: bytes) -> np.ndarray:
         return bmp_decode(data)
     if data.startswith(PNG_SIG):
         return png_decode(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return gif_decode(data)
     raise NotImplementedError(
-        "PPM/BMP/PNG decode with pure numpy+zlib in this environment; "
-        "JPEG/GIF need Pillow")
+        "PPM/BMP/PNG/GIF decode from scratch in this environment; "
+        "JPEG needs Pillow")
 
 
 def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:

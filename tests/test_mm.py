@@ -2,6 +2,7 @@
 frame-sample stub."""
 
 import numpy as np
+import pytest
 
 from rustac_spark.mm.binary_ops import (
     extract_image_features, resize_images, sample_video_frames,
@@ -217,3 +218,99 @@ def test_wav_roundtrip_and_features(spark):
     assert got["wav"]["n_channels"] == 2
     assert abs(got["wav"]["duration_s"] - 0.5) < 1e-9
     assert got["bad"]["n_samples"] is None
+
+
+def _gif_lzw_encode(pix, min_code):
+    """Independent LZW encoder oracle; bit widths packed by simulating
+    the decoder's table-growth rule, so the two stay in lockstep."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    codes = [clear]
+    table = {bytes([i]): i for i in range(clear)}
+    nxt = end + 1
+    w = b""
+    for ch in bytes(pix):
+        wp = w + bytes([ch])
+        if wp in table:
+            w = wp
+            continue
+        codes.append(table[w])
+        if nxt < 4096:
+            table[wp] = nxt
+            nxt += 1
+        w = bytes([ch])
+    if w:
+        codes.append(table[w])
+    codes.append(end)
+    out, acc, nbits = bytearray(), 0, 0
+    code_size, dec_len, first = min_code + 1, clear + 2, True
+    for c in codes:
+        acc |= c << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if c == clear:
+            code_size, dec_len, first = min_code + 1, clear + 2, True
+        elif c != end:
+            if first:
+                first = False
+            else:
+                dec_len += 1
+                if dec_len == (1 << code_size) and code_size < 12:
+                    code_size += 1
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_bytes(idx, palette, interlace=False):
+    import struct
+
+    h, w = idx.shape
+    bits = max(1, (len(palette) - 1).bit_length())
+    size_field = bits - 1
+    table_n = 2 << size_field
+    gct = b"".join(bytes(c) for c in palette)
+    gct += b"\x00" * (table_n * 3 - len(gct))
+    min_code = max(2, bits)
+    if interlace:
+        order = [r for s, st in ((0, 8), (4, 8), (2, 4), (1, 2))
+                 for r in range(s, h, st)]
+        pix = idx[order].tobytes()
+    else:
+        pix = idx.tobytes()
+    lzw = _gif_lzw_encode(pix, min_code)
+    blocks = b"".join(bytes([len(lzw[i:i + 255])]) + lzw[i:i + 255]
+                      for i in range(0, len(lzw), 255))
+    return (b"GIF89a"
+            + struct.pack("<HHBBB", w, h, 0x80 | size_field, 0, 0) + gct
+            + b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE extension
+            + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h,
+                                    0x40 if interlace else 0)
+            + bytes([min_code]) + blocks + b"\x00" + b"\x3b")
+
+
+def test_gif_decode_lzw_and_interlace():
+    from rustac_spark.mm.codecs import decode_image, gif_decode
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    rng = np.random.default_rng(3)
+    idx = rng.integers(0, 4, (13, 7), dtype=np.uint8)
+    expected = np.array(palette, np.uint8)[idx]
+
+    plain = _gif_bytes(idx, palette)
+    assert np.array_equal(gif_decode(plain), expected)
+    assert np.array_equal(decode_image(plain), expected)  # magic dispatch
+
+    inter = _gif_bytes(idx, palette, interlace=True)
+    assert np.array_equal(gif_decode(inter), expected)
+
+    # big image drives real table growth through several code widths
+    big = rng.integers(0, 4, (40, 50), dtype=np.uint8)
+    assert np.array_equal(
+        gif_decode(_gif_bytes(big, palette)),
+        np.array(palette, np.uint8)[big])
+
+    with pytest.raises(ValueError):
+        gif_decode(b"GIF89a" + b"\x00" * 20)
