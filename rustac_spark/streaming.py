@@ -135,6 +135,21 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
                 "append", GroupStateTimeout.EventTimeTimeout))
 
 
+def dedup_stream(pages: DataFrame, watermark: str = "2 hours",
+                 ts_col: str = "warc_ts",
+                 text_col: str = "text") -> DataFrame:
+    """Streaming exact dedup — the incremental twin of
+    textops.basic.exact_dedup_groups: keep the first arrival per
+    content hash, drop later duplicates. State is bounded by the
+    watermark (dropDuplicatesWithinWatermark evicts hashes once the
+    event-time horizon passes), so it runs forever at crawl scale —
+    the content hash is computed JVM-side (sha2), no Python."""
+    return (pages
+            .withColumn("content_hash", F.sha2(F.col(text_col), 256))
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["content_hash"]))
+
+
 def run_to_sink(agg: DataFrame, out_dir: str, checkpoint_dir: str,
                 once: bool = True):
     """Start the query (availableNow semantics for tests/backfills:

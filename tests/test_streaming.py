@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from rustac_spark.geocode import prepare_pages
 from rustac_spark.streaming import (
-    prepared_stream, run_to_sink, windowed_lang_counts,
+    PAGES_SCHEMA, prepared_stream, run_to_sink, windowed_lang_counts,
 )
 from rustac_spark.synth import gen_pages, pages_batch
 
@@ -144,3 +144,46 @@ def test_sessionize_stream_stateful(spark, tmp_path):
         (1, "2024-01-01 15:00:00", "2024-01-01 15:00:00", 1, 3.0),
         (2, "2024-01-01 10:00:00", "2024-01-01 10:00:00", 1, 5.0),
     }
+
+
+def test_dedup_stream_drops_duplicates(spark, tmp_path):
+    """Streaming exact dedup: first arrival per content hash survives,
+    in-watermark duplicates are dropped, distinct texts all pass."""
+    import time
+    from rustac_spark.streaming import dedup_stream
+
+    indir = str(tmp_path / "dd_in")
+    out = str(tmp_path / "dd_out")
+    ckpt = str(tmp_path / "dd_ckpt")
+    os.makedirs(indir)
+
+    import numpy as np
+    pdf = pages_batch(np.arange(500))
+    dup = pdf.copy()
+    dup["url"] = dup["url"] + "?mirror=1"  # same text, different url
+    t0 = time.time() - 100
+    spark.createDataFrame(pdf).write.parquet(f"{indir}/d1")
+    spark.createDataFrame(dup).write.parquet(f"{indir}/d2")
+    for i, d in enumerate(("d1", "d2")):
+        for f in os.listdir(f"{indir}/{d}"):
+            os.utime(f"{indir}/{d}/{f}", (t0 + i, t0 + i))
+
+    stream = (spark.readStream.schema(PAGES_SCHEMA)
+              .option("maxFilesPerTrigger", "1").parquet(f"{indir}/*"))
+    # watermark wider than the fixture's event-time span: the file
+    # drops are NOT time-ordered here, so a tight watermark would
+    # (correctly) discard late rows — this test isolates the dedup
+    # semantics from late-data eviction
+    q = (dedup_stream(stream, watermark="9000 hours")
+         .writeStream.outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .format("parquet").option("path", out)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out)
+    # exactly one survivor per distinct text; none of the mirrors
+    assert got.count() == 500
+    assert got.select("text").distinct().count() == 500
+    from pyspark.sql import functions as F2
+    assert got.where(F2.col("url").contains("mirror")).count() == 0
