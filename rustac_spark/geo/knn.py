@@ -102,7 +102,8 @@ def knn_cells(pages: DataFrame, queries: DataFrame, k: int = 5,
              .agg(F.count("*").alias("n"),
                   F.max("dist_km").alias("dmax")).collect()}
     flagged: dict[int, float | None] = {}
-    for r in queries.select("query_id",
+    bands: list[tuple[float, float, float]] = []  # (qlon, qlat, dmax)
+    for r in queries.select("query_id", F.col("qxmin").alias("qlon"),
                             F.col("qymin").alias("qlat")).collect():
         n, dmax = stats.get(r["query_id"], (0, None))
         worst = min(90.0, abs(r["qlat"]) + rings * dy)
@@ -115,16 +116,41 @@ def knn_cells(pages: DataFrame, queries: DataFrame, k: int = 5,
             # full top-k: its k-th distance bounds the true k-th
             # (candidates ⊆ pages) — re-run over that band only
             flagged[r["query_id"]] = float(dmax)
+            bands.append((r["qlon"], r["qlat"], float(dmax)))
     out_cols = ["query_id", "rank", "url", "dist_km"]
     if not flagged:
         return topk.select(*out_cols)
     ok = topk.where(~F.col("query_id").isin(list(flagged)))
+    redo_pages = pages
+    if len(bands) == len(flagged):
+        # every flagged query is bounded and its band is a DRIVER
+        # literal → OR of plain range predicates that push into the
+        # parquet scan (row-group skipping on lat/lon stats). Same
+        # formulas as knn_bruteforce_bounded, so this is a superset
+        # of each query's exact band.
+        preds = []
+        for qlon, qlat, dmax in bands:
+            dlat = dmax / 111.0
+            band_lat = min(89.9999, abs(qlat) + dlat)
+            dlon = min(360.0, dmax / (111.0 * math.cos(
+                math.radians(band_lat))) * (math.pi / 2.0))
+            p = (F.col("lat") >= qlat - dlat) & \
+                (F.col("lat") <= qlat + dlat) & \
+                (((F.col("lon") >= qlon - dlon)
+                  & (F.col("lon") <= qlon + dlon))
+                 | (F.col("lon") >= qlon + 360.0 - dlon)
+                 | (F.col("lon") <= qlon - 360.0 + dlon))
+            preds.append(p)
+        pre = preds[0]
+        for p in preds[1:]:
+            pre = pre | p
+        redo_pages = pages.where(pre)
     spark = pages.sparkSession
     redo = queries.join(
         F.broadcast(spark.createDataFrame(
             list(flagged.items()), "query_id long, dmax double")),
         "query_id")
-    redone = knn_bruteforce_bounded(pages, redo, k)
+    redone = knn_bruteforce_bounded(redo_pages, redo, k)
     return ok.select(*out_cols).unionByName(redone)
 
 
