@@ -1,13 +1,13 @@
 """Multimodal column plumbing (north-rule training-data operators).
 
 Images/audio/video are opaque ``binary`` columns with typed metadata.
-PPM P6, 24-bit BMP and baseline PNG decode, feature-extract and
-resize with REAL pure-numpy(+stdlib zlib) kernels (mm/codecs.py);
-JPEG/GIF and video frame sampling stay STUBBED behind
-``NotImplementedError`` or a deterministic fake (Pillow/ffmpeg are not
-in this container) — the Spark-side plumbing (schemas, Arrow batch
-shapes, partitioning) is identical for both, so adding Pillow later is
-a one-branch change in ``codecs.decode_image``.
+Every still-image format decodes with REAL from-scratch kernels
+(mm/codecs.py + mm/jpeg.py): PPM P6, 24-bit BMP, baseline PNG
+(zlib + unfilter), GIF (hand-written LZW), and baseline JPEG
+(DCT/Huffman, 4:4:4 + 4:2:0). Only video frame sampling stays
+STUBBED behind a deterministic fake (needs ffmpeg) — its Spark-side
+plumbing (schema, Arrow batch shape, partitioning) is real, so adding
+pyav later is a one-function change.
 """
 
 from __future__ import annotations

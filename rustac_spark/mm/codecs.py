@@ -5,9 +5,10 @@ Pillow/ffmpeg are not installable in this environment. PPM/BMP need
 no codec at all; PNG needs only stdlib zlib, so a from-scratch
 baseline decoder lives here too (8-bit depth, all 5 scanline filters,
 color types 0/2/3/4/6, non-interlaced — the overwhelming majority of
-real-world PNGs). JPEG (DCT/huffman) and GIF (LZW) remain honestly
-raised in ``decode_image``; video frame sampling stays a labeled stub
-in binary_ops.
+real-world PNGs); GIF87a/89a decodes via a hand-written LZW
+(mm/codecs); baseline JPEG decodes/encodes via the from-scratch
+DCT/Huffman codec in mm/jpeg.py. Only video frame sampling remains a
+labeled stub in binary_ops (needs ffmpeg).
 """
 
 from __future__ import annotations
@@ -401,9 +402,12 @@ def decode_image(data: bytes) -> np.ndarray:
         return png_decode(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return gif_decode(data)
+    if data.startswith(b"\xff\xd8\xff"):
+        from .jpeg import jpeg_decode
+        return jpeg_decode(data)
     raise NotImplementedError(
-        "PPM/BMP/PNG/GIF decode from scratch in this environment; "
-        "JPEG needs Pillow")
+        "unrecognized image format (PPM/BMP/PNG/GIF/baseline-JPEG "
+        "decode from scratch; anything else needs Pillow)")
 
 
 def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
