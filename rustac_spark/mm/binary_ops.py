@@ -49,9 +49,10 @@ DECODE_SCHEMA = ("url string, width int, height int, channels int, "
 
 def extract_image_features(df: DataFrame, bin_col: str = "payload",
                            url_col: str = "url") -> DataFrame:
-    """Batch image decode → (url, w, h, c, features). PPM/BMP decode
-    with the real numpy kernels; unsupported formats yield a null row
-    (the behavior of a decode-with-dead-letter pipeline stage)."""
+    """Batch image decode → (url, w, h, c, features). PPM, BMP, PNG,
+    GIF and baseline JPEG decode with the real from-scratch kernels;
+    anything else yields a null row (the behavior of a
+    decode-with-dead-letter pipeline stage)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -136,16 +137,34 @@ def resize_images(df: DataFrame, width: int = 256, height: int = 256,
 
 def sample_video_frames(df: DataFrame, bin_col: str = "payload",
                         url_col: str = "url", every_n: int = 30,
-                        ) -> DataFrame:
-    """Frame-sampling plumbing: one output row per sampled frame
-    (binary video column → exploded frame binaries + frame index)."""
+                        max_frames: int = 8) -> DataFrame:
+    """Frame sampling: one output row per sampled frame (binary video
+    column → exploded frame binaries + frame index).
+
+    REAL for MJPEG-in-AVI (the one video container that needs no
+    external codec): the RIFF 'movi' list is walked and every
+    `every_n`-th JPEG frame is emitted as standalone JPEG bytes —
+    decodable downstream by extract_image_features via the
+    from-scratch mm/jpeg decoder. Other containers (H.264 etc.) fall
+    back to the labeled deterministic stub (need ffmpeg/pyav)."""
+    from .codecs import avi_mjpeg_frames
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for url, data in zip(pdf[url_col], pdf[bin_col]):
+                data = bytes(data)
+                try:
+                    frames = avi_mjpeg_frames(data)
+                    sampled = (frames[::max(1, every_n)][:max_frames]
+                               or frames[:1])
+                    for i, f in enumerate(sampled):
+                        rows.append((url, i, f))
+                    continue
+                except ValueError:
+                    pass
                 for i, frame in enumerate(
-                        sample_frames_stub(bytes(data), every_n)):
+                        sample_frames_stub(data, every_n)):
                     rows.append((url, i, frame))
             yield pd.DataFrame(rows, columns=["url", "frame_idx", "frame"])
 
