@@ -265,6 +265,75 @@ def _gif_lzw_decode(data: bytes, min_code: int, npix: int) -> bytes:
     return b"".join(out)[:npix]
 
 
+def _gif_lzw_encode(pix: bytes, min_code: int) -> bytes:
+    """GIF-variant LZW compress; bit widths packed by simulating the
+    decoder's table-growth rule so both sides stay in lockstep."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    codes = [clear]
+    table = {bytes([i]): i for i in range(clear)}
+    nxt = end + 1
+    w = b""
+    for ch in bytes(pix):
+        wp = w + bytes([ch])
+        if wp in table:
+            w = wp
+            continue
+        codes.append(table[w])
+        if nxt < 4096:
+            table[wp] = nxt
+            nxt += 1
+        w = bytes([ch])
+    if w:
+        codes.append(table[w])
+    codes.append(end)
+    out, acc, nbits = bytearray(), 0, 0
+    code_size, dec_len, first = min_code + 1, clear + 2, True
+    for c in codes:
+        acc |= c << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if c == clear:
+            code_size, dec_len, first = min_code + 1, clear + 2, True
+        elif c != end:
+            if first:
+                first = False
+            else:
+                dec_len += 1
+                if dec_len == (1 << code_size) and code_size < 12:
+                    code_size += 1
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def gif_encode(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB with ≤256 distinct colors → GIF89a
+    (global color table, non-interlaced). Raises for richer images —
+    GIF is palette-bound by design; quantization is out of scope."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, _ = arr.shape
+    flat = arr.reshape(-1, 3)
+    palette, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("gif_encode needs ≤256 distinct colors")
+    bits = max(1, (len(palette) - 1).bit_length())
+    size_field = bits - 1
+    table_n = 2 << size_field
+    gct = palette.tobytes() + b"\x00" * ((table_n - len(palette)) * 3)
+    min_code = max(2, bits)
+    lzw = _gif_lzw_encode(idx.astype(np.uint8).tobytes(), min_code)
+    blocks = b"".join(bytes([len(lzw[i:i + 255])]) + lzw[i:i + 255]
+                      for i in range(0, len(lzw), 255))
+    return (b"GIF89a"
+            + struct.pack("<HHBBB", w, h, 0x80 | size_field, 0, 0)
+            + gct
+            + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+            + bytes([min_code]) + blocks + b"\x00" + b"\x3b")
+
+
 _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 

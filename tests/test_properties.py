@@ -130,3 +130,47 @@ def test_rects_intersect_pieces_vs_sampled_oracle(x, y, w, h, seed):
                     for sx, sy in samples)
     if witnessed:
         assert got, (x, y, w, h, gj)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, 24), st.integers(1, 24), st.integers(0, 2**32 - 1))
+def test_png_roundtrip_lossless(h, w, seed):
+    from rustac_spark.mm.codecs import png_decode, png_encode
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(png_decode(png_encode(arr)), arr)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, 20), st.integers(1, 20), st.integers(1, 8),
+       st.integers(0, 2**32 - 1))
+def test_gif_roundtrip_lossless(h, w, ncol, seed):
+    from rustac_spark.mm.codecs import gif_decode, gif_encode
+    rng = np.random.default_rng(seed)
+    palette = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+    arr = palette[rng.integers(0, ncol, (h, w))]
+    assert np.array_equal(gif_decode(gif_encode(arr)), arr)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, 500), st.integers(1, 2),
+       st.sampled_from([8000, 16000, 44100]), st.integers(0, 2**32 - 1))
+def test_wav_roundtrip_lossless(n, ch, rate, seed):
+    from rustac_spark.mm.codecs import wav_decode, wav_encode
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32768, (n, ch)).astype(np.int16)
+    got, grate = wav_decode(wav_encode(s, rate))
+    assert grate == rate and np.array_equal(got, s)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 3), st.integers(8, 24), st.integers(8, 24),
+       st.integers(0, 2**32 - 1))
+def test_jpeg_decodes_whatever_it_encodes(nf, h, w, seed):
+    # lossy: assert structural sanity, not equality
+    from rustac_spark.mm.jpeg import jpeg_decode, jpeg_encode
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    for sub in ("444", "420"):
+        out = jpeg_decode(jpeg_encode(arr, quality=90, subsampling=sub))
+        assert out.shape == arr.shape and out.dtype == np.uint8
