@@ -1,0 +1,172 @@
+"""Iceberg-style snapshot tables on plain parquet + JSON manifests.
+
+The north rule targets "an Iceberg table of 10^12 Common-Crawl-style
+web pages … resumable from the last committed checkpoint"; the
+Iceberg runtime jar is not installable here (SURVEY.md §7 "offline
+deps"), so this module provides the same table semantics with the
+same commit discipline, swappable for real Iceberg later:
+
+- ``meta/snap-<n>.json`` manifests list the exact data files of a
+  snapshot (append never rewrites history — old snapshots stay
+  readable: TIME TRAVEL);
+- ``meta/CURRENT`` is an atomically-renamed pointer — readers always
+  see a complete snapshot, never a partial write;
+- commits are OPTIMISTIC: a writer stages its files, then publishes
+  iff CURRENT still names its parent; a concurrent commit raises
+  ``CommitConflict`` for the caller to retry (Iceberg's
+  compare-and-swap loop);
+- ``delete_where``/``upsert`` are FILE-GRANULAR copy-on-write: only
+  data files that actually contain matching rows are rewritten
+  (located via one metadata-cheap ``input_file_name()`` aggregation);
+  untouched files are carried into the new snapshot by reference —
+  at 100 TB a targeted delete rewrites megabytes, not the table.
+
+Filesystem access reuses lineage's backend split: plain paths use the
+fast local path, scheme URIs go through the Hadoop FileSystem JVM API.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .lineage import _fs_for
+
+
+class CommitConflict(RuntimeError):
+    """CURRENT advanced underneath this writer (optimistic concurrency
+    control): reload the table and retry the operation."""
+
+
+def _meta(table_dir: str) -> str:
+    return f"{table_dir}/meta"
+
+
+def _data(table_dir: str) -> str:
+    return f"{table_dir}/data"
+
+
+class SnapshotTable:
+    def __init__(self, spark: SparkSession, table_dir: str):
+        self.spark = spark
+        self.dir = table_dir
+        self.fs = _fs_for(spark, table_dir)
+
+    # ------------------------------------------------------- reading
+
+    def current_snapshot_id(self) -> int | None:
+        ptr = f"{_meta(self.dir)}/CURRENT"
+        if not self.fs.exists(ptr):
+            return None
+        return int(self.fs.read_text(ptr).strip())
+
+    def manifest(self, snapshot_id: int | None = None) -> dict:
+        sid = (self.current_snapshot_id() if snapshot_id is None
+               else snapshot_id)
+        if sid is None:
+            raise FileNotFoundError(f"{self.dir}: no CURRENT snapshot")
+        return json.loads(
+            self.fs.read_text(f"{_meta(self.dir)}/snap-{sid}.json"))
+
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        """DataFrame over a snapshot's exact file list (defaults to
+        CURRENT) — time travel is just reading an older manifest."""
+        files = self.manifest(snapshot_id)["files"]
+        if not files:
+            raise ValueError("empty snapshot")
+        return self.spark.read.parquet(*files)
+
+    def history(self) -> list[dict]:
+        out = []
+        sid = self.current_snapshot_id()
+        while sid is not None:
+            m = self.manifest(sid)
+            out.append({"snapshot_id": sid, "operation": m["operation"],
+                        "n_files": len(m["files"]),
+                        "n_rows": m["n_rows"], "ts": m["ts"]})
+            sid = m["parent"]
+        return list(reversed(out))
+
+    # ------------------------------------------------------- writing
+
+    def _stage_files(self, df: DataFrame) -> tuple[list[str], int]:
+        """Write df's rows as new immutable data files; returns their
+        paths + row count. Files are invisible until a manifest
+        referencing them is published."""
+        batch = uuid.uuid4().hex[:12]
+        out = f"{_data(self.dir)}/batch-{batch}"
+        df.write.mode("error").parquet(out)
+        files = [p for p, _ in self.fs.list_parquet(out)]
+        n = sum(self.fs.parquet_rows(p) for p in files)
+        return files, n
+
+    def _publish(self, parent: int | None, files: list[str],
+                 operation: str) -> int:
+        """Compare-and-swap commit: write snap-N, then move CURRENT —
+        iff CURRENT still equals `parent`."""
+        if self.current_snapshot_id() != parent:
+            raise CommitConflict(
+                f"{self.dir}: CURRENT moved past snapshot {parent}")
+        sid = (parent or 0) + 1
+        n_rows = sum(self.fs.parquet_rows(p) for p in files)
+        self.fs.mkdirs(_meta(self.dir))
+        self.fs.write_text_atomic(
+            f"{_meta(self.dir)}/snap-{sid}.json",
+            json.dumps({"snapshot_id": sid, "parent": parent,
+                        "operation": operation, "files": sorted(files),
+                        "n_rows": n_rows, "ts": time.time()}))
+        # the pointer flip is the commit point (atomic rename)
+        if self.current_snapshot_id() != parent:
+            raise CommitConflict(
+                f"{self.dir}: CURRENT moved past snapshot {parent}")
+        self.fs.write_text_atomic(f"{_meta(self.dir)}/CURRENT", str(sid))
+        return sid
+
+    def create(self, df: DataFrame) -> int:
+        self.fs.mkdirs(_data(self.dir))
+        files, _ = self._stage_files(df)
+        return self._publish(None, files, "create")
+
+    def append(self, df: DataFrame) -> int:
+        parent = self.current_snapshot_id()
+        old = self.manifest(parent)["files"]
+        files, _ = self._stage_files(df)
+        return self._publish(parent, old + files, "append")
+
+    def delete_where(self, condition) -> int:
+        """Copy-on-write delete: rewrite ONLY files containing rows
+        matching `condition` (a Column or SQL string); all other
+        files carry over by reference."""
+        parent = self.current_snapshot_id()
+        old = self.manifest(parent)["files"]
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        cur = self.spark.read.parquet(*old)
+        touched = {r["f"] for r in
+                   (cur.where(cond)
+                    .select(F.input_file_name().alias("f"))
+                    .distinct().collect())}
+        # input_file_name returns URIs (file:///…); manifests hold
+        # fs-local paths — compare on the last two path components,
+        # unique by construction (uuid batch dir + part file name)
+        def tail2(p: str) -> str:
+            return "/".join(p.rstrip("/").split("/")[-2:])
+
+        touched_tails = {tail2(t) for t in touched}
+        keep = [p for p in old if tail2(p) not in touched_tails]
+        rewrite = [p for p in old if tail2(p) in touched_tails]
+        new_files: list[str] = []
+        if rewrite:
+            survivors = self.spark.read.parquet(*rewrite).where(~cond)
+            new_files, _ = self._stage_files(survivors)
+        return self._publish(parent, keep + new_files, "delete")
+
+    def upsert(self, df: DataFrame, key: str) -> int:
+        """MERGE by key: delete existing rows whose `key` appears in
+        df (file-granular COW), then append df — one new snapshot
+        each; the pair is the classic two-commit merge."""
+        keys = [r[0] for r in df.select(key).distinct().collect()]
+        self.delete_where(F.col(key).isin(keys))
+        return self.append(df)
