@@ -104,7 +104,7 @@ class SnapshotTable:
         return files, n
 
     def _publish(self, parent: int | None, files: list[str],
-                 operation: str) -> int:
+                 operation: str, extra: dict | None = None) -> int:
         """Compare-and-swap commit: write snap-N, then move CURRENT —
         iff CURRENT still equals `parent`."""
         if self.current_snapshot_id() != parent:
@@ -117,7 +117,8 @@ class SnapshotTable:
             f"{_meta(self.dir)}/snap-{sid}.json",
             json.dumps({"snapshot_id": sid, "parent": parent,
                         "operation": operation, "files": sorted(files),
-                        "n_rows": n_rows, "ts": time.time()}))
+                        "n_rows": n_rows, "ts": time.time(),
+                        **(extra or {})}))
         # the pointer flip is the commit point (atomic rename)
         if self.current_snapshot_id() != parent:
             raise CommitConflict(
@@ -125,16 +126,16 @@ class SnapshotTable:
         self.fs.write_text_atomic(f"{_meta(self.dir)}/CURRENT", str(sid))
         return sid
 
-    def create(self, df: DataFrame) -> int:
+    def create(self, df: DataFrame, extra: dict | None = None) -> int:
         self.fs.mkdirs(_data(self.dir))
         files, _ = self._stage_files(df)
-        return self._publish(None, files, "create")
+        return self._publish(None, files, "create", extra)
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, extra: dict | None = None) -> int:
         parent = self.current_snapshot_id()
         old = self.manifest(parent)["files"]
         files, _ = self._stage_files(df)
-        return self._publish(parent, old + files, "append")
+        return self._publish(parent, old + files, "append", extra)
 
     def delete_where(self, condition) -> int:
         """Copy-on-write delete: rewrite ONLY files containing rows
@@ -170,3 +171,44 @@ class SnapshotTable:
         keys = [r[0] for r in df.select(key).distinct().collect()]
         self.delete_where(F.col(key).isin(keys))
         return self.append(df)
+
+    # ---------------------------------------------- streaming sink
+
+    def append_batch_exactly_once(self, df: DataFrame,
+                                  batch_id: int) -> int | None:
+        """foreachBatch sink body with EXACTLY-ONCE table commits:
+        the manifest records the streaming batch id, so a replayed
+        micro-batch (after a crash between the table commit and the
+        checkpoint advance) is recognized and skipped. Returns the new
+        snapshot id, or None if this batch was already committed."""
+        cur = self.current_snapshot_id()
+        if cur is not None:
+            sid = cur
+            while sid is not None:
+                m = self.manifest(sid)
+                if m.get("batch_id") == batch_id:
+                    return None  # replay of an already-committed batch
+                sid = m["parent"]
+        extra = {"batch_id": batch_id}
+        # the batch id rides IN the manifest, written before the
+        # pointer flip — no crash window between commit and stamp
+        if cur is None:
+            return self.create(df, extra)
+        return self.append(df, extra)
+
+
+def stream_to_table(prepared: DataFrame, table_dir: str,
+                    checkpoint_dir: str, once: bool = True):
+    """writeStream → SnapshotTable with exactly-once batch commits.
+    Each micro-batch becomes one table snapshot; readers time-travel
+    over the ingest history."""
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        SnapshotTable(batch_df.sparkSession, table_dir) \
+            .append_batch_exactly_once(batch_df, batch_id)
+
+    w = (prepared.writeStream
+         .foreachBatch(sink)
+         .option("checkpointLocation", checkpoint_dir))
+    if once:
+        w = w.trigger(availableNow=True)
+    return w.start()
