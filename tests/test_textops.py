@@ -236,3 +236,39 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
               for r in knn_lsh(vec, q, k=3, nbits=4, dim=16).collect()}
     # multi-probe LSH over 4 bits: recall should be high on this set
     assert len(approx & exact) / len(exact) >= 0.6
+
+
+def test_hll_accuracy_and_mergeability(spark):
+    """From-scratch HyperLogLog: within 3σ (σ=1.04/√m≈0.81%) of the
+    exact distinct count, and per-slice sketches merge to exactly the
+    whole-data sketch."""
+    from pyspark.sql import functions as F
+
+    from rustac_spark.textops.sketches import (
+        M, approx_distinct, hll_estimate, hll_registers, merge_registers,
+    )
+
+    df = spark.range(0, 200_000).select(
+        F.concat(F.lit("url-"), (F.col("id") % 50_000).cast("string"))
+        .alias("u"))
+    exact = 50_000
+    est = approx_distinct(df, "u")
+    assert abs(est - exact) / exact < 3 * 1.04 / (M ** 0.5)
+
+    # mergeability: sketch(A) ⊕ sketch(B) == sketch(A ∪ B), exactly
+    a = df.where(F.col("u") < "url-3")
+    b = df.where(F.col("u") >= "url-3")
+    merged = merge_registers(hll_registers(a, "u"),
+                             hll_registers(b, "u"))
+    whole = hll_registers(df, "u")
+    ma = {(r["register"], r["max_rank"]) for r in merged.collect()}
+    mw = {(r["register"], r["max_rank"]) for r in whole.collect()}
+    assert ma == mw
+    assert hll_estimate(merged) == hll_estimate(whole)
+
+    # small-range correction: tiny cardinalities are near-exact
+    tiny = spark.range(0, 37).select(F.col("id").cast("string").alias("u"))
+    assert abs(approx_distinct(tiny, "u") - 37) < 2
+
+    # the register table never exceeds m rows — the shuffle is bounded
+    assert whole.count() <= M
