@@ -80,3 +80,72 @@ def hll_estimate(registers: DataFrame) -> float:
 def approx_distinct(df: DataFrame, col: str) -> float:
     """One-call estimate: ``hll_estimate(hll_registers(df, col))``."""
     return hll_estimate(hll_registers(df, col))
+
+
+# --------------------------------------------------- Count-Min sketch
+
+CMS_DEPTH = 4          # independent hash rows
+CMS_WIDTH = 1 << 12    # 4096 buckets/row ⇒ ε = e/w ≈ 0.07% of N
+
+def cms_table(df: DataFrame, col: str, depth: int = CMS_DEPTH,
+              width: int = CMS_WIDTH) -> DataFrame:
+    """Count-Min sketch state → (row int, bucket int, cnt long),
+    ≤ depth·width rows. One narrow depth× explode, then a map-side-
+    combinable count — the only shuffle carries the bounded table.
+    Two states merge by summing cnt per (row, bucket); estimates are
+    biased high by at most e·N/width with prob ≥ 1-e^-depth."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    e = df.select(F.col(col).alias("_v"), rows)
+    bucket = F.pmod(F.xxhash64("_v", "row"), F.lit(width)).cast("int")
+    return (e.select("row", bucket.alias("bucket"))
+            .groupBy("row", "bucket")
+            .agg(F.count("*").alias("cnt")))
+
+
+def cms_merge(*tables: DataFrame) -> DataFrame:
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_lookup(table: DataFrame, items: DataFrame, col: str,
+               depth: int = CMS_DEPTH, width: int = CMS_WIDTH,
+               ) -> DataFrame:
+    """Frequency estimates for an items column → (item, est_count):
+    min over the depth counters — a broadcast of the (small) sketch
+    against the (small) item list; never touches the raw data."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    probes = items.select(F.col(col).alias("item"), rows).withColumn(
+        "bucket", F.pmod(F.xxhash64("item", "row"),
+                         F.lit(width)).cast("int"))
+    return (probes.join(F.broadcast(table), ["row", "bucket"], "left")
+            .groupBy("item")
+            .agg(F.min(F.coalesce("cnt", F.lit(0)))
+                 .alias("est_count")))
+
+
+def heavy_hitters(df: DataFrame, col: str, min_share: float = 0.001,
+                  depth: int = CMS_DEPTH, width: int = CMS_WIDTH,
+                  ) -> DataFrame:
+    """Items whose estimated frequency ≥ min_share of all rows —
+    the 100 TB hot-domain detector. Candidates come from one bounded
+    sample-free pass: any true heavy hitter's bucket count in EVERY
+    row is ≥ its frequency, so distinct values landing only in light
+    buckets are pruned by the sketch itself; the final estimate runs
+    through cms_lookup on the surviving candidates."""
+    n = df.count()
+    thresh = max(1, int(n * min_share))
+    table = cms_table(df, col, depth, width).persist()
+    # candidate pruning: keep values whose row-0 bucket is heavy
+    heavy0 = table.where((F.col("row") == 0)
+                         & (F.col("cnt") >= thresh)) \
+        .select("bucket")
+    cands = (df.select(F.col(col).alias("item"))
+             .withColumn("bucket", F.pmod(
+                 F.xxhash64("item", F.lit(0)), F.lit(width)).cast("int"))
+             .join(F.broadcast(heavy0), "bucket")
+             .select("item").distinct())
+    out = cms_lookup(table, cands, "item", depth, width) \
+        .where(F.col("est_count") >= thresh)
+    return out

@@ -272,3 +272,49 @@ def test_hll_accuracy_and_mergeability(spark):
 
     # the register table never exceeds m rows — the shuffle is bounded
     assert whole.count() <= M
+
+
+def test_count_min_sketch_bounds_and_heavy_hitters(spark):
+    """CMS guarantees: est ≥ true always; est ≤ true + εN in practice;
+    heavy_hitters surfaces exactly the zipf-hot domains."""
+    from pyspark.sql import functions as F
+
+    from rustac_spark.textops.sketches import (
+        CMS_WIDTH, cms_lookup, cms_merge, cms_table, heavy_hitters,
+    )
+    from rustac_spark.synth import gen_pages
+
+    pages = gen_pages(spark, 20_000, partitions=8)
+    dom = pages.select(
+        F.regexp_extract("url", r"https://([^/]+)/", 1).alias("domain"))
+    dom.cache().count()
+    exact = {r["domain"]: r["n"] for r in
+             dom.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    n = sum(exact.values())
+
+    table = cms_table(dom, "domain")
+    assert table.count() <= 4 * CMS_WIDTH
+    items = spark.createDataFrame([(d,) for d in list(exact)[:200]],
+                                  ["domain"])
+    est = {r["item"]: r["est_count"] for r in
+           cms_lookup(table, items, "domain").collect()}
+    for d, e in est.items():
+        assert e >= exact[d]                     # never undercounts
+        assert e - exact[d] <= 2.72 * n / CMS_WIDTH + 1
+
+    # merge: two half-sketches sum to the whole sketch exactly
+    h1 = dom.where(F.crc32("domain") % 2 == 0)
+    h2 = dom.where(F.crc32("domain") % 2 == 1)
+    merged = cms_merge(cms_table(h1, "domain"), cms_table(h2, "domain"))
+    mm = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    ww = {(r["row"], r["bucket"]): r["cnt"] for r in table.collect()}
+    assert mm == ww
+
+    hh = {r["item"]: r["est_count"]
+          for r in heavy_hitters(dom, "domain", min_share=0.02).collect()}
+    true_heavy = {d for d, c in exact.items() if c >= 0.02 * n}
+    assert true_heavy <= set(hh)                 # no false negatives
+    # no wild false positives: everything reported is within CMS slack
+    for d, e in hh.items():
+        assert exact.get(d, 0) + 2.72 * n / CMS_WIDTH + 1 >= 0.02 * n
+    dom.unpersist()
