@@ -90,12 +90,17 @@ def cmd_translate(args) -> int:
 
 def cmd_validate(args) -> int:
     from .stac.items_io import iter_items
-    from .stac.validate import validate_value
     spark = _spark(args)
+    if args.full:
+        # complete official spec schemas (vendored, offline $refs) —
+        # the reference CLI's behavior (crates/validate)
+        from .stac.schema_validate import validate_document as vfn
+    else:
+        from .stac.validate import validate_value as vfn
     df = _read_items(spark, args.path)
     n_bad = 0
     for item in iter_items(df if args.limit is None else df.limit(args.limit)):
-        errors = validate_value(item)
+        errors = vfn(item)
         if errors:
             n_bad += 1
             print(json.dumps({"id": item.get("id"), "errors": errors}))
@@ -143,6 +148,9 @@ def main(argv=None) -> int:
     v = sub.add_parser("validate", help="validate items")
     v.add_argument("path")
     v.add_argument("--limit", type=int)
+    v.add_argument("--full", action="store_true",
+                   help="validate against the complete official spec "
+                        "schemas instead of the fast subset")
     v.set_defaults(fn=cmd_validate)
 
     c = sub.add_parser("collections", help="derive collection extents")

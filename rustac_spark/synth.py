@@ -264,7 +264,11 @@ def stac_items_pandas() -> pd.DataFrame:
             "updated": pd.Timestamp("2024-01-02T00:00:00"),
             "sat:relative_orbit": 98 if (i % 2 == 0 and i < 98) else 141,
             "eo:cloud_cover": float((i * 7919) % 101),
-            "links": [],
+            # an item WITH `collection` must link rel=collection
+            # (item-spec json-schema dependency — the full validator
+            # rejects collectionless links)
+            "links": [{"href": "./collection-a.json",
+                       "rel": "collection", "type": "application/json"}],
         })
     return pd.DataFrame(rows)
 
@@ -297,6 +301,7 @@ def stac_items_interval_pandas() -> pd.DataFrame:
             "updated": pd.Timestamp("2024-01-02T00:00:00"),
             "sat:relative_orbit": 1,
             "eo:cloud_cover": 0.0,
-            "links": [],
+            "links": [{"href": "./collection-b.json",
+                       "rel": "collection", "type": "application/json"}],
         })
     return pd.DataFrame(rows)

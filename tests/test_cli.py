@@ -43,3 +43,8 @@ def test_cli_search_and_translate(tmp_path):
     out = run_cli("validate", "data/stac_items.parquet", "--limit", "10")
     assert out.returncode == 0, out.stderr[-500:]
     assert "0 invalid" in out.stderr
+
+    out = run_cli("validate", "data/stac_items.parquet", "--limit", "5",
+                  "--full")
+    assert out.returncode == 0, out.stderr[-500:]
+    assert "0 invalid" in out.stderr

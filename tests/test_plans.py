@@ -116,6 +116,18 @@ def test_polygon_free_join_runs_zero_jobs(spark, queries_df):
     sc.setJobGroup(None, None)
 
 
+def test_sketches_single_shuffle_no_python(spark):
+    """HLL/CMS state builds are one map-side-combined shuffle of the
+    bounded register/bucket table — zero Python, zero extra passes."""
+    from rustac_spark.textops.sketches import cms_table, hll_registers
+    df = spark.range(1000).select(F.col("id").cast("string").alias("u"))
+    for sketch in (hll_registers(df, "u"), cms_table(df, "u")):
+        plan = _physical(sketch)
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "HashAggregate" in plan
+        assert "Python" not in plan and "mapInPandas" not in plan
+
+
 def test_hot_cell_membership_is_inset_not_literal_array(spark):
     """O(10^4) hot cells must compile to a single InSet lookup, not a
     10^4-element literal array scanned per row (round-2 VERDICT
