@@ -8,6 +8,45 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def asof_join(left: DataFrame, right: DataFrame, key_col: str,
+              ts_col: str, right_cols: list[str],
+              suffix: str = "_asof") -> DataFrame:
+    """LEFT AS-OF JOIN: for each left row, attach the right row with
+    the greatest right.ts ≤ left.ts within the same key (the operator
+    Spark lacks natively; DuckDB spells it ASOF JOIN).
+
+    Physical shape: tag both sides, UNION, one per-key sorted window,
+    carry the last non-null right values forward
+    (``last(..., ignorenulls=True)``), keep left rows. ONE shuffle on
+    the key, rows processed once — no per-key range explosion, no
+    UDF; the shape that survives 10^12 events. On a timestamp tie the
+    right row sorts first, so equal timestamps match (≤ semantics,
+    matching DuckDB's ASOF).
+
+    Unmatched left rows keep NULL right columns (left-join contract).
+    """
+    carried = [F.col(c).alias(f"{c}{suffix}") for c in right_cols] + \
+        [F.col(ts_col).alias(f"{ts_col}{suffix}")]
+    r = right.select(F.col(key_col), F.col(ts_col), *carried) \
+        .withColumn("_side", F.lit(0))
+    lcols = left.columns
+    l = left
+    for c in right_cols + [ts_col]:
+        l = l.withColumn(f"{c}{suffix}",
+                         F.lit(None).cast(r.schema[f"{c}{suffix}"]
+                                          .dataType.simpleString()))
+    l = l.withColumn("_side", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (Window.partitionBy(key_col)
+         .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    for c in right_cols + [ts_col]:
+        u = u.withColumn(f"{c}{suffix}",
+                         F.last(f"{c}{suffix}", ignorenulls=True).over(w))
+    return u.where(F.col("_side") == 1).select(
+        *lcols, *[f"{c}{suffix}" for c in right_cols + [ts_col]])
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30,
                user_col: str = "user_id", ts_col: str = "ts") -> DataFrame:
     """Gap-based sessionization: a new session starts when the gap to

@@ -74,3 +74,28 @@ def test_ngram_jaccard_max_df_prunes(spark):
     # 'common' shingles appear in all 10 docs; cap at df<=5 kills them
     out = jaccard_pairs(df, threshold=0.1, max_df=5).count()
     assert out == 0
+
+
+def test_asof_join_semantics(spark):
+    """≤ tie matching, carry-forward across gaps, NULL before first
+    right row, key isolation."""
+    from rustac_spark.events import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 10:00:00"), (2, 1, "2024-01-01 10:05:00"),
+         (3, 1, "2024-01-01 09:00:00"), (4, 2, "2024-01-01 10:00:00")],
+        "event_id long, user_id long, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 5.0),   # tie with left #1 → match
+         (1, "2024-01-01 10:01:00", 7.0),
+         (9, "2024-01-01 00:00:00", 99.0)],  # other key: never leaks
+        "user_id long, ts string, value double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = {r["event_id"]: r["value_asof"]
+           for r in asof_join(left, right, "user_id", "ts",
+                              ["value"]).collect()}
+    assert out[1] == 5.0      # equal timestamp matches (≤)
+    assert out[2] == 7.0      # latest at-or-before 10:05
+    assert out[3] is None     # before any right row
+    assert out[4] is None     # user 2 has no right rows at all
