@@ -47,6 +47,36 @@ def asof_join(left: DataFrame, right: DataFrame, key_col: str,
         *lcols, *[f"{c}{suffix}" for c in right_cols + [ts_col]])
 
 
+def range_join(left: DataFrame, right: DataFrame, key_col: str,
+               ts_col: str, delta_seconds: float,
+               right_cols: list[str], suffix: str = "_r") -> DataFrame:
+    """Temporal RANGE join: every (left, right) pair with the same key
+    and |left.ts − right.ts| ≤ Δ (inclusive both ends).
+
+    The naive theta-join is quadratic per key; this is the 1-D twin of
+    the engine's cell-indexed spatial join: the RIGHT side lands in
+    exactly ONE Δ-wide time bucket, the LEFT side explodes to its ≤3
+    candidate buckets, the join is equi on (key, bucket) and a pure
+    Column residual keeps the exact band. Right-side single-bucket
+    assignment makes every qualifying pair appear exactly once — no
+    dedup shuffle."""
+    us = int(delta_seconds * 1_000_000)
+    lt = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    bucket = F.floor(lt / F.lit(us))
+    r = right.select(
+        F.col(key_col), bucket.alias("_b"),
+        lt.alias("_rt"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.col(ts_col).alias(f"{ts_col}{suffix}"))
+    l = left.withColumn("_lt", lt).withColumn(
+        "_b", F.explode(F.sequence(bucket - 1, bucket + 1)))
+    out = (l.join(r, [key_col, "_b"])
+           .where(F.abs(F.col("_lt") - F.col("_rt")) <= us))
+    keep = [c for c in left.columns] + \
+        [f"{c}{suffix}" for c in right_cols + [ts_col]]
+    return out.select(*keep)
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30,
                user_col: str = "user_id", ts_col: str = "ts") -> DataFrame:
     """Gap-based sessionization: a new session starts when the gap to

@@ -99,3 +99,54 @@ def test_asof_join_semantics(spark):
     assert out[2] == 7.0      # latest at-or-before 10:05
     assert out[3] is None     # before any right row
     assert out[4] is None     # user 2 has no right rows at all
+
+def test_range_join_semantics(spark):
+    """Inclusive ±Δ band, exactly-once pairs across bucket boundaries,
+    key isolation — cross-checked against the naive theta-join."""
+    from rustac_spark.events import range_join
+
+    import random
+    rng = random.Random(7)
+    base = 1_700_000_000
+    lrows = [(i, rng.randint(1, 3), base + rng.randint(0, 40_000))
+             for i in range(40)]
+    rrows = [(100 + i, rng.randint(1, 3), base + rng.randint(0, 40_000))
+             for i in range(40)]
+    left = spark.createDataFrame(
+        [(i, u, t) for i, u, t in lrows],
+        "event_id long, user_id long, epoch long") \
+        .withColumn("ts", F.timestamp_seconds("epoch")).drop("epoch")
+    right = spark.createDataFrame(
+        [(i, u, t) for i, u, t in rrows],
+        "rid long, user_id long, epoch long") \
+        .withColumn("ts", F.timestamp_seconds("epoch")).drop("epoch")
+
+    delta = 3600
+    got = {(r["event_id"], r["rid_r"])
+           for r in range_join(left, right, "user_id", "ts",
+                               delta_seconds=delta,
+                               right_cols=["rid"]).collect()}
+    want = {(i, j) for i, u, t in lrows for j, v, s in rrows
+            if u == v and abs(t - s) <= delta}
+    assert got == want and len(got) > 0
+    # exactly-once: the collect() into a set above would hide dupes
+    n = range_join(left, right, "user_id", "ts", delta_seconds=delta,
+                   right_cols=["rid"]).count()
+    assert n == len(want)
+
+
+def test_range_join_boundary_inclusive(spark):
+    from rustac_spark.events import range_join
+    left = spark.createDataFrame(
+        [(1, 1, 10_000)], "event_id long, user_id long, epoch long") \
+        .withColumn("ts", F.timestamp_seconds("epoch")).drop("epoch")
+    right = spark.createDataFrame(
+        [(1, 1, 10_000 + 3600),    # exactly +Δ → in
+         (2, 1, 10_000 - 3600),    # exactly -Δ → in
+         (3, 1, 10_000 + 3601),    # just out
+         (4, 2, 10_000)],          # other key
+        "rid long, user_id long, epoch long") \
+        .withColumn("ts", F.timestamp_seconds("epoch")).drop("epoch")
+    got = sorted(r["rid_r"] for r in range_join(
+        left, right, "user_id", "ts", 3600, ["rid"]).collect())
+    assert got == [1, 2]
