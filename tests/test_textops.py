@@ -318,3 +318,100 @@ def test_count_min_sketch_bounds_and_heavy_hitters(spark):
     for d, e in hh.items():
         assert exact.get(d, 0) + 2.72 * n / CMS_WIDTH + 1 >= 0.02 * n
     dom.unpersist()
+
+
+# ------------------------------------------------ quality rules (Gopher)
+
+def test_quality_rules_exact_vs_python(spark):
+    from collections import Counter
+    from rustac_spark.textops.quality_rules import with_quality_rules
+
+    texts = [
+        "a a a a b",                      # heavy word repetition
+        "x y x y x y x y",                # dominant bigram "x y"
+        " ".join(f"w{j}" for j in range(30)),  # clean, long enough
+                                               # that gram fracs are low
+        "solo",                           # < 2 tokens: gram fracs 0
+        "p q",                            # exactly 2 tokens
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in with_quality_rules(df).collect()}
+
+    for i, t in enumerate(texts):
+        toks = t.split()
+        grams2 = [" ".join(toks[j:j+2]) for j in range(len(toks)-1)]
+        grams3 = [" ".join(toks[j:j+3]) for j in range(len(toks)-2)]
+        def top(g):
+            return 0.0 if not g else Counter(g).most_common(1)[0][1] / len(g)
+        r = got[i]
+        assert r["n_tokens"] == len(toks)
+        assert abs(r["dup_word_frac"]
+                   - (1 - len(set(toks)) / len(toks))) < 1e-6
+        assert abs(r["top_word_frac"] - top(toks)) < 1e-6
+        assert abs(r["top_bigram_frac"] - top(grams2)) < 1e-6
+        assert abs(r["top_trigram_frac"] - top(grams3)) < 1e-6
+
+    assert got[2]["gopher_pass"] == 1     # clean doc passes
+    assert got[1]["gopher_pass"] == 0     # "x y" bigram = 7/7 > 0.20
+
+
+# ------------------------------------------------------------ TF-IDF
+
+def test_tfidf_top_terms(spark):
+    import math
+    from rustac_spark.textops.tfidf import top_terms
+
+    df = spark.createDataFrame(
+        [(0, "apple apple banana common"),
+         (1, "banana cherry common"),
+         (2, "cherry cherry cherry common")],
+        ["doc_id", "text"])
+    out = top_terms(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0: apple tf=2 df=1 → 2·ln3 ≈ 2.197 wins; banana tf=1 df=2
+    top0 = sorted(by_doc[0], key=lambda r: r["rk"])
+    assert top0[0]["term"] == "apple"
+    assert abs(top0[0]["score"] - 2 * math.log(3)) < 1e-5
+    assert top0[1]["term"] == "banana"
+    # 'common' (df = N) scores exactly 0 everywhere and never outranks
+    for rows in by_doc.values():
+        for r in rows:
+            if r["term"] == "common":
+                assert r["score"] == 0.0
+    # doc 2: cherry 3·ln(3/2) ≈ 1.216 beats common 0
+    top2 = sorted(by_doc[2], key=lambda r: r["rk"])
+    assert top2[0]["term"] == "cherry"
+
+
+# ----------------------------------------------- deterministic sampling
+
+def test_sampling_matches_sha256_oracle(spark):
+    import hashlib
+    from rustac_spark.textops.sampling import (
+        deterministic_sample, stratified_sample)
+
+    rows = [(i, ["en", "de", "fr", "zz"][i % 4]) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+
+    def bucket(key, salt):
+        h = hashlib.sha256(f"{key}:{salt}".encode()).hexdigest()
+        return int(h[:15], 16) % 1_000_000
+
+    got = {r["doc_id"] for r in
+           deterministic_sample(df, "doc_id", 0.25, salt="s").collect()}
+    want = {i for i, _ in rows if bucket(i, "s") < 250_000}
+    assert got == want
+
+    rates = {"en": 0.5, "de": 0.1}
+    got2 = {r["doc_id"] for r in stratified_sample(
+        df, "doc_id", "lang", rates, default_rate=0.02, salt="s").collect()}
+    want2 = {i for i, lg in rows
+             if bucket(i, "s") < int(rates.get(lg, 0.02) * 1_000_000)}
+    assert got2 == want2
+    # determinism: re-run is identical
+    got3 = {r["doc_id"] for r in stratified_sample(
+        df, "doc_id", "lang", rates, default_rate=0.02, salt="s").collect()}
+    assert got3 == got2
