@@ -36,8 +36,34 @@ def extract_text_batch(html: pd.Series) -> pd.Series:
     return html.map(extract_text_bytes)
 
 
+def extracted_text_column(html):
+    """Pure-Column twin of ``extract_text_bytes`` — JVM-side, no Arrow
+    round-trip. Equality with the byte-level kernel holds because the
+    fixture html is valid UTF-8 and '<body>' is ASCII: slicing the
+    decoded string at the char positions locate() returns yields the
+    same text as slicing the bytes then decoding (UTF-8 is
+    self-synchronizing, so no code point spans the tag boundary).
+    tests/test_pipeline.py asserts exact equality against the pandas
+    kernel on the committed fixture."""
+    from pyspark.sql import functions as F
+
+    s = html.cast("string")
+    i = F.instr(s, "<body>")                      # 1-based, 0 = absent
+    j = F.call_function("locate", F.lit("</body>"), s, i)
+    start = i + F.lit(len(_BODY_OPEN))
+    end = F.when(j == 0, F.length(s) + 1).otherwise(j)
+    return F.when(i == 0, F.lit("")).otherwise(
+        F.substring(s, start, end - start))
+
+
 def with_extracted_text(df, html_col: str = "html",
-                        out_col: str = "extracted_text"):
+                        out_col: str = "extracted_text",
+                        use_arrow: bool = False):
+    if not use_arrow:
+        from pyspark.sql import functions as F
+        return df.withColumn(out_col,
+                             extracted_text_column(F.col(html_col)))
+
     out_fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
                            for f in df.schema.fields)
     schema = f"{out_fields}, {out_col} string"

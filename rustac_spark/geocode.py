@@ -7,10 +7,13 @@ footprint bbox. Everything is a pure function of the url via
 ``stable_hash`` (sha256), so any executor recomputes identical values
 — this is what makes the pipeline resumable and the oracle checkable.
 
-Exposed two ways:
-- ``geocode_pandas(urls) -> DataFrame`` — numpy batch kernel,
-- ``with_geocode(df) -> DataFrame`` — Spark mapInPandas wrapper adding
-  lat, lon, xmin, ymin, xmax, ymax (+ WKB geometry) columns.
+Exposed three ways:
+- ``geocode_cols(url)`` — pure-Column twin (sha2 + conv + decimal
+  mod), the default ingest path: whole-stage codegen, zero Python,
+- ``geocode_pandas(urls) -> DataFrame`` — numpy batch kernel, kept as
+  the independent reference for the bit-parity test,
+- ``with_geocode(df) -> DataFrame`` — adds lat, lon, xmin, ymin,
+  xmax, ymax (+ WKB geometry via the Arrow path) columns.
 
 The reference models footprints as item geometry + bbox struct
 covering index (crates/core/src/geoparquet.rs:415-435); here the bbox
@@ -84,6 +87,43 @@ def geocode_pandas(urls: pd.Series) -> pd.DataFrame:
     })
 
 
+def _stable_hash_col(col):
+    """Column twin of ``hashing.stable_hash``: first 8 bytes of sha256,
+    big-endian unsigned, as DECIMAL(20,0) (uint64 exceeds BIGINT).
+    conv() parses the 16-hex prefix as an unsigned 64-bit value; the
+    decimal modulos below are exact integer math, and every residue is
+    < 2^18 so the final double cast is lossless."""
+    from pyspark.sql import functions as F
+    return F.conv(F.substring(F.sha2(col, 256), 1, 16), 16, 10) \
+        .cast("decimal(20,0)")
+
+
+def geocode_cols(url) -> dict:
+    """Pure-Column twin of ``geocode_pandas`` — the full geocode in
+    whole-stage codegen, zero Python. Expression trees mirror the
+    numpy kernel op-for-op (same IEEE order ⇒ bit-identical doubles;
+    tests assert exact equality on the committed fixtures)."""
+    from pyspark.sql import functions as F
+
+    domain = F.split(url, "/").getItem(2)
+    hd = _stable_hash_col(domain)
+    hdx = _stable_hash_col(F.concat(domain, F.lit("x")))
+    hu = _stable_hash_col(url)
+    hlat = _stable_hash_col(F.concat(url, F.lit(":lat")))
+    hlon = _stable_hash_col(F.concat(url, F.lit(":lon")))
+
+    lat_dom = (hd % 170_000).cast("double") / 1000.0 - 85.0
+    lon_dom = (hdx % 360_000).cast("double") / 1000.0 - 180.0
+    lat = lat_dom + ((hlat % 100_001).cast("double") / 100_000.0 - 0.5) * 0.1
+    lon = lon_dom + ((hlon % 100_001).cast("double") / 100_000.0 - 0.5) * 0.1
+    lat = F.least(F.greatest(lat, F.lit(-LAT_LIMIT)), F.lit(LAT_LIMIT))
+    lon = F.least(F.greatest(lon, F.lit(-LON_LIMIT)), F.lit(LON_LIMIT))
+    delta = F.lit(0.001) + (hu % 100).cast("double") / 10_000.0
+    return {"lat": lat, "lon": lon,
+            "xmin": lon - delta, "ymin": lat - delta,
+            "xmax": lon + delta, "ymax": lat + delta}
+
+
 def footprint_wkb_batch(g: pd.DataFrame) -> pd.Series:
     return pd.Series(
         [bbox_polygon_wkb(a, b, c, d)
@@ -95,12 +135,26 @@ PREPARED_SCHEMA = ("url string, warc_ts timestamp, lang string, "
                    "text_ok boolean, " + GEO_SCHEMA)
 
 
-def prepare_pages(df, url_col: str = "url"):
+def prepare_pages(df, url_col: str = "url", use_arrow: bool = False):
     """Single-pass ingest kernel: extract text from html (enforcing the
     byte-identical-per-url invariant inline), geocode, emit the
-    prepared page table. ONE mapInPandas = one Arrow round-trip —
-    the entire Python cost of the engine at 100 TB lives here."""
-    from .extract import extract_text_batch
+    prepared page table.
+
+    Default path is PURE Column (extracted_text_column +
+    geocode_cols): the whole ingest runs in whole-stage codegen with
+    zero Python and zero Arrow round-trips. ``use_arrow=True`` keeps
+    the original mapInPandas kernel — the independent reference the
+    parity test (tests/test_pipeline.py) compares bit-for-bit."""
+    from .extract import extract_text_batch, extracted_text_column
+    from pyspark.sql import functions as F
+
+    if not use_arrow:
+        g = geocode_cols(F.col(url_col))
+        ext = extracted_text_column(F.col("html"))
+        return df.select(
+            F.col(url_col).alias("url"), "warc_ts", "lang",
+            (ext == F.col("text")).alias("text_ok"),
+            *[c.alias(k) for k, c in g.items()])
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -119,22 +173,25 @@ def prepare_pages(df, url_col: str = "url"):
 
 
 def with_geocode(df, url_col: str = "url", geometry: bool = False):
-    """Add geocode columns to a pages DataFrame via mapInPandas
-    (Arrow-batched; the sha256 loop is the only Python on the ingest
-    path — every downstream predicate is pure Column math)."""
+    """Add geocode columns to a pages DataFrame. Pure Column by
+    default (geocode_cols, bit-identical to the numpy kernel); the
+    geometry=True variant additionally needs per-row WKB bytes, which
+    have no Column encoder, so that path stays Arrow-batched."""
+    if not geometry:
+        from pyspark.sql import functions as F
+        g = geocode_cols(F.col(url_col))
+        return df.select("*", *[c.alias(k) for k, c in g.items()])
+
     in_schema = df.schema
     out_fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
                            for f in in_schema.fields)
-    schema = f"{out_fields}, {GEO_SCHEMA}"
-    if geometry:
-        schema += ", geometry binary"
+    schema = f"{out_fields}, {GEO_SCHEMA}, geometry binary"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             g = geocode_pandas(pdf[url_col])
             out = pd.concat([pdf.reset_index(drop=True), g], axis=1)
-            if geometry:
-                out["geometry"] = footprint_wkb_batch(g)
+            out["geometry"] = footprint_wkb_batch(g)
             yield out
 
     return df.mapInPandas(gen, schema=schema)

@@ -113,3 +113,17 @@ def test_hot_cell_subdivision_preserves_join(spark, pages_geo, queries_df):
     before = pc.groupBy("cell").count().agg(F.max("count")).collect()[0][0]
     after = sub.groupBy("cell").count().agg(F.max("count")).collect()[0][0]
     assert after < before
+
+
+def test_column_ingest_bit_parity_with_arrow_kernel(spark):
+    """The pure-Column ingest (geocode_cols + extracted_text_column)
+    must be BIT-identical to the independent numpy/pandas kernels —
+    same sha256 prefixes, same IEEE op order, same body slicing."""
+    from rustac_spark.geocode import prepare_pages
+
+    pages = spark.read.parquet("data/pages_sf0.001.parquet")
+    col_rows = sorted(prepare_pages(pages).collect())
+    arrow_rows = sorted(prepare_pages(pages, use_arrow=True).collect())
+    assert len(col_rows) == len(arrow_rows) > 0
+    for a, b in zip(col_rows, arrow_rows):
+        assert a == b   # Row equality: floats compare exactly
