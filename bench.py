@@ -159,7 +159,10 @@ def main() -> None:
     # each"); best-of-N also rides out this host's sporadic
     # multi-second scheduler stalls at high thread counts (see
     # BENCH/BASELINE.md).
-    n_passes = int(os.environ.get("RUSTAC_BENCH_PASSES", "2"))
+    # 3 passes: this host's sporadic stalls hit ~every other pass and
+    # move between stages, so P(all 3 passes contaminated) is small
+    # while the cost is one extra ~12 s pass.
+    n_passes = int(os.environ.get("RUSTAC_BENCH_PASSES", "3"))
     warm_dir = f"{bench_root}/warm_{sf}_{cpus}_{uuid.uuid4().hex[:8]}"
     run_pipeline(warm_dir)
     shutil.rmtree(warm_dir, ignore_errors=True)
