@@ -237,3 +237,37 @@ def collections(df: DataFrame) -> list[dict]:
         }
         out.append(c)
     return sorted(out, key=lambda c: c["id"])
+
+
+# ------------------------------------------------------- aggregations
+# STAC API Aggregation extension semantics (public spec,
+# github.com/stac-api-extensions/aggregation): frequency aggregations
+# over a search result set. The reference server does not implement
+# the extension; these are the engine-native equivalents a catalog at
+# crawl scale needs. Both are single map-side-combined groupBys.
+
+def datetime_frequency(items: DataFrame,
+                       interval: str = "month") -> DataFrame:
+    """'datetime_frequency' aggregation: item counts per calendar
+    bucket of the item datetime (start_datetime for interval items).
+    Bucket emitted as a formatted string (timestamp-output rule)."""
+    b = F.date_trunc(interval,
+                     F.coalesce("start_datetime", "datetime"))
+    return (items
+            .groupBy(F.date_format(b, "yyyy-MM-dd HH:mm:ss")
+                     .alias("bucket"))
+            .agg(F.count("*").alias("frequency")))
+
+
+def grid_frequency(items: DataFrame, res: int = 6) -> DataFrame:
+    """'grid_*_frequency' analogue on the engine's quad grid: item
+    counts per cell of the bbox centroid. One narrow projection +
+    one shuffle; cell ids match geo.cells encoding, so the result
+    joins directly against cell-indexed page tables."""
+    from ..geo import cells
+
+    cx = (F.col("bbox.xmin") + F.col("bbox.xmax")) / 2.0
+    cy = (F.col("bbox.ymin") + F.col("bbox.ymax")) / 2.0
+    return (items
+            .groupBy(cells.cell_of_point(cx, cy, res).alias("cell"))
+            .agg(F.count("*").alias("frequency")))

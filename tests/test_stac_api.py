@@ -164,3 +164,46 @@ def test_hrefs():
         == "./items/i.json"
     assert relativize("s3://other/i.json", "s3://b/cat/c.json") \
         == "s3://other/i.json"
+
+
+def test_datetime_frequency_buckets(spark):
+    from pyspark.sql import functions as F
+    from rustac_spark.stac.api import datetime_frequency
+
+    items = spark.createDataFrame(
+        [("a", "2024-01-05 10:00:00", None),
+         ("b", "2024-01-25 00:00:00", None),
+         ("c", "2024-03-01 00:00:00", None),
+         # interval item: bucketed by start_datetime
+         ("d", None, "2024-03-07 12:00:00")],
+        "id string, datetime string, start_datetime string") \
+        .withColumn("datetime", F.to_timestamp("datetime")) \
+        .withColumn("start_datetime", F.to_timestamp("start_datetime"))
+    out = {r["bucket"]: r["frequency"]
+           for r in datetime_frequency(items, "month").collect()}
+    assert out == {"2024-01-01 00:00:00": 2, "2024-03-01 00:00:00": 2}
+
+
+def test_grid_frequency_cells(spark):
+    from rustac_spark.stac.api import grid_frequency
+    from rustac_spark.geo.cells import encode_py
+
+    def item(i, xmin, ymin, xmax, ymax):
+        return (i, {"xmin": float(xmin), "ymin": float(ymin),
+                    "xmax": float(xmax), "ymax": float(ymax)})
+    items = spark.createDataFrame(
+        [item("a", -0.4, -0.4, -0.2, -0.2),   # centroid (-0.3,-0.3)
+         item("b", -0.35, -0.35, -0.25, -0.25),  # same cell
+         item("c", 10.0, 20.0, 10.2, 20.2)],
+        "id string, bbox struct<xmin:double,ymin:double,"
+        "xmax:double,ymax:double>")
+    out = {r["cell"]: r["frequency"]
+           for r in grid_frequency(items, res=6).collect()}
+
+    def cell6(lon, lat):
+        n = 64
+        xi = min(n - 1, max(0, int((lon + 180) / 360 * n)))
+        yi = min(n - 1, max(0, int((lat + 90) / 180 * n)))
+        return encode_py(6, xi, yi)
+    assert out[cell6(-0.3, -0.3)] == 2
+    assert out[cell6(10.1, 20.1)] == 1
