@@ -59,6 +59,16 @@ def main() -> None:
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
     with open(f"{REPO}/BENCH/scaling.json", "w") as f:
         json.dump(result, f, indent=2)
+    # preserve hand-written appendix sections (codegen decision,
+    # per-round notes) below the first "## " heading that isn't ours
+    appendix = ""
+    try:
+        old = open(f"{REPO}/BENCH/BASELINE.md").read()
+        i = old.find("\n## ")
+        if i >= 0:
+            appendix = old[i:]
+    except FileNotFoundError:
+        pass
     with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH — scaling evidence (north_rule)
 
@@ -101,6 +111,7 @@ Protocol: ≥2 warm runs per level, best counted; deterministic input
 (sha256-keyed synthetic pages, FIXTURES.md §1); runs via
 `SPARK_GRAFT_CPUS=8|32 python bench.py`.
 """)
+        f.write(appendix)
     print(json.dumps(result))
 
 
