@@ -93,3 +93,49 @@ def with_quality_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
               & (F.col("top_trigram_frac") <= TOP_3GRAM_MAX)
               & (F.col("dup_word_frac") <= DUP_WORD_MAX))
     return out.withColumn("gopher_pass", passed.cast("int"))
+
+
+# ---------------------------------------------------- C4 line filters
+# Line-level cleaning from the public C4 paper (Raffel et al. 2020,
+# §2.2): keep lines that end in terminal punctuation and have at
+# least C4_MIN_WORDS words; drop the page when the cleaned text loses
+# every line or mentions boilerplate markers. Pure Column (split /
+# filter / array_join): a narrow map, no shuffle, streaming-safe.
+
+C4_MIN_WORDS = 3
+C4_TERMINAL = (".", "!", "?", '"')
+C4_BAD_MARKERS = ("lorem ipsum", "javascript")
+
+
+def _line_ok(line: Column) -> Column:
+    t = F.trim(line)
+    ends_ok = F.lit(False)
+    for p in C4_TERMINAL:
+        ends_ok = ends_ok | t.endswith(p)
+    n_words = F.when(F.length(t) == 0, F.lit(0)) \
+        .otherwise(F.size(F.split(t, r"\s+")))
+    return ends_ok & (n_words >= C4_MIN_WORDS)
+
+
+def c4_clean(text: Column) -> Column:
+    """Cleaned text: qualifying lines re-joined with newlines."""
+    lines = F.split(text, "\n")
+    return F.array_join(F.filter(lines, _line_ok), "\n")
+
+
+def with_c4_filters(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds clean_text, n_lines_kept/total, and c4_keep (page-level
+    verdict: some line survived and no boilerplate marker)."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    kept = F.filter(lines, _line_ok)
+    low = F.lower(t)
+    has_bad = F.lit(False)
+    for m in C4_BAD_MARKERS:
+        has_bad = has_bad | low.contains(m)
+    return (df
+            .withColumn("clean_text", F.array_join(kept, "\n"))
+            .withColumn("n_lines_total", F.size(lines))
+            .withColumn("n_lines_kept", F.size(kept))
+            .withColumn("c4_keep",
+                        ((F.size(kept) > 0) & ~has_bad).cast("int")))

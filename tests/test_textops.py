@@ -415,3 +415,48 @@ def test_sampling_matches_sha256_oracle(spark):
     got3 = {r["doc_id"] for r in stratified_sample(
         df, "doc_id", "lang", rates, default_rate=0.02, salt="s").collect()}
     assert got3 == got2
+
+
+def test_c4_line_filters(spark):
+    from rustac_spark.textops.quality_rules import with_c4_filters
+
+    texts = [
+        # 2 good lines, 1 short, 1 no-punct
+        "This is a good sentence.\nno\nAnother full line here!\n"
+        "trailing words without punctuation",
+        "only lorem ipsum filler text here.",     # marker → dropped
+        "word",                                   # nothing survives
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in with_c4_filters(df).collect()}
+
+    assert got[0]["clean_text"] == \
+        "This is a good sentence.\nAnother full line here!"
+    assert got[0]["n_lines_total"] == 4
+    assert got[0]["n_lines_kept"] == 2
+    assert got[0]["c4_keep"] == 1
+    assert got[1]["n_lines_kept"] == 1 and got[1]["c4_keep"] == 0
+    assert got[2]["n_lines_kept"] == 0 and got[2]["c4_keep"] == 0
+
+
+def test_quality_rules_streaming_safe(spark, tmp_path):
+    """The Column-only quality/C4 signals run unchanged under
+    Structured Streaming (no stateful op, narrow map)."""
+    from rustac_spark.textops.quality_rules import (
+        with_c4_filters, with_quality_rules)
+
+    src = str(tmp_path / "in")
+    df = spark.createDataFrame(
+        [(1, "One good line here.\nshort"), (2, "a a a a a")],
+        ["doc_id", "text"])
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = with_c4_filters(with_quality_rules(stream))
+    q = (out.writeStream.format("memory").queryName("qr_stream")
+         .outputMode("append").start())
+    q.processAllAvailable(); q.stop()
+    rows = {r["doc_id"]: r for r in
+            spark.sql("select * from qr_stream").collect()}
+    assert rows[1]["n_lines_kept"] == 1
+    assert rows[2]["dup_word_frac"] > 0.7
