@@ -102,3 +102,48 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("stopword_ratio", F.round(stopword_ratio(t), 6))
             .withColumn("quality", quality_score(t))
             .withColumn("lang_pred", lang_id(t)))
+
+
+# GPT-2-style pre-tokenizer, restricted to the RE2-compatible subset
+# (no lookahead — DuckDB's regexp engine is RE2, and the oracle twin
+# must match): a token is a letter run, a digit run, or a punctuation
+# run, each with an optional leading space; whitespace runs separate.
+BPE_TOKEN_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-style pre-tokens (letter/digit/punct runs) —
+    the 'token budget' estimator for context-window packing."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0))
+
+
+def chunk_tokens(df: DataFrame, chunk_size: int, overlap: int = 0,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Split each document into whitespace-token chunks of
+    ``chunk_size`` with ``overlap`` tokens carried between consecutive
+    chunks — context-window packing for training pipelines.
+
+    Narrow explode (no shuffle): chunk starts are a sequence with
+    stride chunk_size−overlap; each chunk is a slice re-joined with
+    single spaces. The last chunk may be short; step > 0 enforced."""
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    step = chunk_size - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.lit(0),
+                   F.floor((n - 1) / F.lit(step)).cast("int") * step),
+        F.lit(step))
+    chunk = F.explode(starts).alias("chunk_start")
+    out = (df.select(id_col, toks.alias("_toks"), chunk)
+           .select(id_col,
+                   F.col("chunk_start"),
+                   F.array_join(F.slice("_toks", F.col("chunk_start") + 1,
+                                        chunk_size), " ")
+                   .alias("chunk_text")))
+    return (out.withColumn(
+        "n_chunk_tokens",
+        F.when(F.length("chunk_text") == 0, 0)
+         .otherwise(F.size(F.split("chunk_text", r"\s+")))))

@@ -460,3 +460,43 @@ def test_quality_rules_streaming_safe(spark, tmp_path):
             spark.sql("select * from qr_stream").collect()}
     assert rows[1]["n_lines_kept"] == 1
     assert rows[2]["dup_word_frac"] > 0.7
+
+
+def test_bpe_token_count(spark):
+    from rustac_spark.textops.basic import bpe_token_count
+    df = spark.createDataFrame(
+        [(0, "hello world"),       # 2 letter runs
+         (1, "abc123!?x"),         # abc | 123 | !? | x
+         (2, "don't stop"),        # don | ' | t | _stop
+         (3, "")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", bpe_token_count(F.col("text")).alias("n")).collect()}
+    assert out == {0: 2, 1: 4, 2: 4, 3: 0}
+
+
+def test_chunk_tokens_overlap_and_coverage(spark):
+    from rustac_spark.textops.basic import chunk_tokens
+
+    words = [f"w{i}" for i in range(25)]
+    df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    rows = sorted(chunk_tokens(df, chunk_size=10, overlap=3).collect(),
+                  key=lambda r: r["chunk_start"])
+    # stride 7: starts 0,7,14,21
+    assert [r["chunk_start"] for r in rows] == [0, 7, 14, 21]
+    assert rows[0]["chunk_text"].split() == words[0:10]
+    assert rows[1]["chunk_text"].split() == words[7:17]
+    assert rows[3]["chunk_text"].split() == words[21:25]  # short tail
+    assert rows[3]["n_chunk_tokens"] == 4
+    # consecutive chunks share exactly `overlap` tokens
+    assert rows[0]["chunk_text"].split()[-3:] == \
+        rows[1]["chunk_text"].split()[:3]
+    # every token is covered
+    got = set()
+    for r in rows:
+        got.update(r["chunk_text"].split())
+    assert got == set(words)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_tokens(df, chunk_size=5, overlap=5)
