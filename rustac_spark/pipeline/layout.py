@@ -86,3 +86,59 @@ def file_cell_ranges(path: str) -> list[tuple[str, int, int]]:
             maxs.append(st.max)
         out.append((fn, min(mins), max(maxs)))
     return out
+
+
+# ------------------------------------------------------ Z-order layout
+# Morton interleave of the cell grid indices — the lakehouse Z-ORDER
+# clustering technique (public: Databricks OPTIMIZE ZORDER, Delta/
+# Iceberg sort orders). Row-major cell order (y·2^29 + x) keeps one
+# axis local and scatters the other; interleaving bits keeps BOTH axes
+# local, so square query regions touch far fewer files. Pure Column
+# bit math (shift/mask "binary magic numbers"), exactly expressible in
+# SQL for the oracle twin.
+
+def _spread_bits(v):
+    """Insert a zero bit between each of the low 16 bits of v."""
+    masks = ((8, 0x00FF00FF), (4, 0x0F0F0F0F),
+             (2, 0x33333333), (1, 0x55555555))
+    v = v.bitwiseAND(F.lit(0xFFFF))
+    for shift, mask in masks:
+        v = v.bitwiseOR(F.shiftleft(v, shift)).bitwiseAND(F.lit(mask))
+    return v
+
+
+def zorder_key(xi, yi):
+    """Morton code: interleave the bits of two grid indices (≤16 bits
+    each): z = spread(x) | spread(y)<<1."""
+    return _spread_bits(xi).bitwiseOR(
+        F.shiftleft(_spread_bits(yi), 1))
+
+
+def zorder_key_py(xi: int, yi: int) -> int:
+    """Driver-side scalar twin (tests/diagnostics)."""
+    def spread(v: int) -> int:
+        v &= 0xFFFF
+        for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F),
+                            (2, 0x33333333), (1, 0x55555555)):
+            v = (v | (v << shift)) & mask
+        return v
+    return spread(xi) | (spread(yi) << 1)
+
+
+def with_zorder_key(df: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
+    """Adds the Morton key of the (lon, lat) grid indices at res."""
+    from ..geo.cells import _xi, _yi
+    return df.withColumn(
+        "zkey", zorder_key(_xi(F.col("lon"), res), _yi(F.col("lat"), res)))
+
+
+def write_zordered(prepared: DataFrame, path: str,
+                   res: int = DEFAULT_RES,
+                   num_files: int | None = None) -> None:
+    """Range-partition + sort by the Morton key: 2-D-local files whose
+    (xmin..ymax) min/max stats are tight in BOTH axes."""
+    df = with_zorder_key(prepared, res)
+    n = num_files or max(8, df.sparkSession.sparkContext.defaultParallelism)
+    (df.repartitionByRange(n, "zkey")
+       .sortWithinPartitions("zkey")
+       .write.mode("overwrite").parquet(path))
