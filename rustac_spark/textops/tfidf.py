@@ -21,12 +21,20 @@ from rustac_spark.textops.basic import tokens
 
 
 def top_terms(df: DataFrame, k: int = 3, text_col: str = "text",
-              id_col: str = "doc_id") -> DataFrame:
+              id_col: str = "doc_id", persist: bool = True) -> DataFrame:
     """Top-k terms per document by tf·idf (idf = ln(N/df)), ties
-    broken by term ascending. Returns (id, term, score, rk)."""
+    broken by term ascending. Returns (id, term, score, rk).
+
+    ``persist`` pins the (doc, term, tf) table so the corpus text is
+    tokenized ONCE: without it, column pruning specializes the tf and
+    df branches into two different scans and Spark re-reads + re-
+    explodes the full text for each (ReusedExchange never fires) —
+    a double full-corpus pass at 100 TB. Locked by a plan-shape test."""
     toks = (df.select(id_col,
                       F.explode(tokens(F.col(text_col))).alias("term")))
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    if persist:
+        tf = tf.persist()
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = df.agg(F.count("*").alias("n_docs"))
     scored = (tf.join(dfreq, "term")

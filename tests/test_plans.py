@@ -151,3 +151,32 @@ def test_hot_cell_membership_is_inset_not_literal_array(spark):
     # not enumerated per-row in the expression tree
     assert len(plan) < 50_000, f"plan bloated to {len(plan)} chars"
     out.count()  # and it executes
+
+
+def test_quality_rules_narrow_single_scan(spark):
+    """Gopher + C4 signals are one narrow map: single scan, zero
+    exchanges, zero Python nodes."""
+    from rustac_spark import DATA_DIR
+    from rustac_spark.textops.quality_rules import (
+        with_c4_filters, with_quality_rules)
+    d = spark.read.parquet(f"{DATA_DIR}/pages_sf0.001.parquet") \
+        .selectExpr("url as doc_id", "text")
+    plan = _physical(with_c4_filters(with_quality_rules(d)))
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_tfidf_tokenizes_corpus_once(spark):
+    """The (doc, term, tf) table is pinned so the text explode runs
+    once; the only other corpus access is the pruned count(*) scan."""
+    from rustac_spark import DATA_DIR
+    from rustac_spark.textops.tfidf import top_terms
+    d = spark.read.parquet(f"{DATA_DIR}/pages_sf0.001.parquet") \
+        .selectExpr("url as doc_id", "text")
+    plan = _physical(top_terms(d, k=2))
+    assert "InMemoryRelation" in plan or \
+        plan.count("Scan parquet") <= 2
+    # the un-persisted form is the documented double-tokenize trap
+    bad = _physical(top_terms(d, k=2, persist=False))
+    assert bad.count("Scan parquet") >= 3

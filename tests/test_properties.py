@@ -174,3 +174,42 @@ def test_jpeg_decodes_whatever_it_encodes(nf, h, w, seed):
     for sub in ("444", "420"):
         out = jpeg_decode(jpeg_encode(arr, quality=90, subsampling=sub))
         assert out.shape == arr.shape and out.dtype == np.uint8
+
+
+@given(st.integers(min_value=0, max_value=65535),
+       st.integers(min_value=0, max_value=65535))
+@settings(max_examples=300, deadline=None)
+def test_zorder_interleave_roundtrip(xi, yi):
+    """Morton code is a bijection: deinterleaving the odd/even bits
+    recovers the grid indices, and the code stays within 32 bits."""
+    from rustac_spark.pipeline.layout import zorder_key_py
+
+    z = zorder_key_py(xi, yi)
+    assert 0 <= z < (1 << 32)
+    rx = ry = 0
+    for b in range(16):
+        rx |= ((z >> (2 * b)) & 1) << b
+        ry |= ((z >> (2 * b + 1)) & 1) << b
+    assert (rx, ry) == (xi, yi)
+
+
+@given(st.integers(min_value=1, max_value=200),
+       st.integers(min_value=1, max_value=60),
+       st.integers(min_value=0, max_value=59))
+@settings(max_examples=200, deadline=None)
+def test_chunk_start_arithmetic_covers_all_tokens(n, chunk, overlap):
+    """The chunk-start sequence (stride = chunk − overlap, last start
+    = floor((n−1)/step)·step) tiles [0, n): every token lands in some
+    chunk and consecutive chunks overlap by exactly `overlap` (when a
+    full successor exists). Pure twin of textops.basic.chunk_tokens."""
+    assume(overlap < chunk)
+    step = chunk - overlap
+    starts = list(range(0, ((n - 1) // step) * step + 1, step))
+    covered = set()
+    for s in starts:
+        covered.update(range(s, min(n, s + chunk)))
+    assert covered == set(range(n))
+    for a, b in zip(starts, starts[1:]):
+        shared = max(0, min(a + chunk, n) - b)
+        if b + chunk <= n:
+            assert shared == overlap
