@@ -1,0 +1,88 @@
+"""HTTP STAC API source against an in-process mock server: next-link
+paging, merge-body semantics, max_pages cap, empty results."""
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+
+
+def _item(i):
+    return {"type": "Feature", "id": f"item-{i}",
+            "properties": {"datetime": "2024-01-01T00:00:00Z", "page_seq": i},
+            "geometry": {"type": "Point", "coordinates": [float(i), 0.0]}}
+
+
+class _Handler(BaseHTTPRequestHandler):
+    """3 pages of 2 items; page advances via the 'page' field of the
+    next link's body; page 2's link uses merge:true."""
+    calls = []
+
+    def do_POST(self):
+        n = int(self.headers.get("Content-Length", 0))
+        body = json.loads(self.rfile.read(n) or b"{}")
+        _Handler.calls.append(body)
+        page = int(body.get("page", 0))
+        base = f"http://{self.headers['Host']}"
+        doc = {"type": "FeatureCollection",
+               "features": [_item(2 * page), _item(2 * page + 1)],
+               "links": []}
+        if page == 0:
+            doc["links"] = [{"rel": "next", "href": f"{base}/search",
+                             "body": {"page": 1}}]
+        elif page == 1:
+            # merge:true → original search body must be preserved
+            doc["links"] = [{"rel": "next", "href": f"{base}/search",
+                             "body": {"page": 2}, "merge": True}]
+        out = json.dumps(doc).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(out)))
+        self.end_headers()
+        self.wfile.write(out)
+
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture()
+def mock_api():
+    _Handler.calls = []
+    srv = HTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_fetch_follows_next_links_and_merges(mock_api):
+    from rustac_spark.stac.api_client import fetch_search_features
+
+    feats = list(fetch_search_features(
+        mock_api, {"collections": ["c1"], "limit": 2}))
+    assert [f["id"] for f in feats] == [f"item-{i}" for i in range(6)]
+    # merge:true page carried the original body fields forward
+    assert _Handler.calls[2]["page"] == 2
+    assert _Handler.calls[2]["collections"] == ["c1"]
+    # the plain-body page did NOT inherit the original search
+    assert "collections" not in _Handler.calls[1]
+
+
+def test_fetch_max_pages_cap(mock_api):
+    from rustac_spark.stac.api_client import fetch_search_features
+
+    feats = list(fetch_search_features(mock_api, {}, max_pages=2))
+    assert len(feats) == 4
+
+
+def test_read_stac_api_dataframe(spark, mock_api):
+    from rustac_spark.stac.api_client import read_stac_api
+
+    df = read_stac_api(spark, mock_api, {"limit": 2})
+    assert df.count() == 6
+    ids = {r["id"] for r in df.select("id").collect()}
+    assert ids == {f"item-{i}" for i in range(6)}
+    # nested properties survive the distributed NDJSON parse
+    seqs = {r[0] for r in df.select("properties.page_seq").collect()}
+    assert seqs == set(range(6))
