@@ -77,3 +77,15 @@ def dedup_cluster_assignments(docs: DataFrame, threshold: float = 0.3,
     pairs = jaccard_pairs(docs, threshold=threshold, id_col=id_col,
                           text_col=text_col, max_df=None)
     return connected_components(pairs)
+
+
+def dedup_retain(docs: DataFrame, clusters: DataFrame,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Apply the canonical keep-rule to the corpus: drop every cluster
+    member except the component minimum (cluster_id), keep all
+    singletons. One broadcast-friendly anti-join against the (small)
+    non-representative member list — the corpus itself is not
+    shuffled, so retention scales as a narrow filter at 100 TB."""
+    drop = clusters.where(
+        F.col(id_col) != F.col("cluster_id")).select(id_col)
+    return docs.join(F.broadcast(drop), id_col, "left_anti")

@@ -67,3 +67,17 @@ def test_dedup_cluster_assignments_end_to_end(spark):
     # keep-rule: one survivor per component
     survivors = {d for d, c in got if d == c}
     assert survivors == {1}
+
+
+def test_dedup_retain_keeps_representatives_and_singletons(spark):
+    from rustac_spark.textops.cluster import dedup_retain
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(6)], ["doc_id", "text"])
+    # components: {0,2,4} (min 0), {1,3} (min 1); 5 is a singleton
+    clusters = spark.createDataFrame(
+        [(0, 0), (2, 0), (4, 0), (1, 1), (3, 1)],
+        ["doc_id", "cluster_id"])
+    kept = sorted(r["doc_id"]
+                  for r in dedup_retain(docs, clusters).collect())
+    assert kept == [0, 1, 5]
