@@ -162,3 +162,25 @@ def run_to_sink(agg: DataFrame, out_dir: str, checkpoint_dir: str,
     if once:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def streaming_tile_counts(prepared: DataFrame, zoom: int = 6,
+                          window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Streaming raster↔vector rollup: per-window z/x/y tile page
+    counts over the live ingest — the whole chain (Column geocode →
+    tile explode → windowed agg) is the SAME code as batch, which is
+    the point: the engine's operators are streaming-safe because the
+    hot path is pure Column math."""
+    from .geo.tiles import explode_tiles
+
+    tiles = explode_tiles(
+        prepared.select("url", "warc_ts", "xmin", "ymin", "xmax", "ymax"),
+        zoom)
+    return (tiles
+            .withWatermark("warc_ts", watermark)
+            .groupBy(F.window("warc_ts", window).alias("w"),
+                     "tile_x", "tile_y")
+            .agg(F.count("*").alias("n_pages"))
+            .select(F.col("w.start").alias("window_start"),
+                    "tile_x", "tile_y", "n_pages"))

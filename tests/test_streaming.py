@@ -187,3 +187,35 @@ def test_dedup_stream_drops_duplicates(spark, tmp_path):
     assert got.select("text").distinct().count() == 500
     from pyspark.sql import functions as F2
     assert got.where(F2.col("url").contains("mirror")).count() == 0
+
+
+def test_streaming_tile_counts_match_batch(spark, tmp_path):
+    """Stream pages → Column prepare → tile explode → windowed counts
+    equals the batch computation over the same files."""
+    from rustac_spark import DATA_DIR
+    from rustac_spark.geo.tiles import explode_tiles
+    from rustac_spark.streaming import (
+        prepared_stream, streaming_tile_counts)
+
+    indir = str(tmp_path / "drops")
+    pages = spark.read.parquet(f"{DATA_DIR}/pages_sf0.001.parquet")
+    pages.limit(2000).repartition(4).write.parquet(indir)
+
+    out = streaming_tile_counts(prepared_stream(spark, indir), zoom=4)
+    q = (out.writeStream.format("memory").queryName("tile_stream")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["window_start"], r["tile_x"], r["tile_y"]): r["n_pages"]
+           for r in spark.sql("select * from tile_stream").collect()}
+
+    batch_prep = prepare_pages(spark.read.parquet(indir))
+    batch = (explode_tiles(batch_prep.select(
+                 "url", "warc_ts", "xmin", "ymin", "xmax", "ymax"), 4)
+             .groupBy(F.window("warc_ts", "1 hour").alias("w"),
+                      "tile_x", "tile_y")
+             .agg(F.count("*").alias("n_pages"))
+             .select(F.col("w.start").alias("ws"), "tile_x", "tile_y",
+                     "n_pages"))
+    want = {(r["ws"], r["tile_x"], r["tile_y"]): r["n_pages"]
+            for r in batch.collect()}
+    assert got == want and len(got) > 0
