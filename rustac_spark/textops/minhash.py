@@ -1,18 +1,17 @@
 """MinHash + LSH near-duplicate detection (north-rule training-data
 operator; no reference counterpart).
 
-Pipeline (the standard shingle → minhash → band → bucket-join shape):
+Pipeline (the standard shingle → minhash → band → bucket shape):
 
-1. signatures: char n-gram shingles → base-256 packed hash (injective
-   for n ≤ 4 after the 32-bit mask; fully-vectorized numpy rolling
-   window, no per-position Python loop) → k permutation minima via
-   (a·h + b) mod p inside mapInPandas (one Arrow batch = many docs);
+1. signatures: word n-gram shingles (the public Gopher/RefinedWeb
+   recipe; vectorized SipHash tokens + rolling combine) → k
+   permutation minima via per-permutation splitmix64 finalizers,
+   emitted through mapInArrow with flat object-free buffers;
 2. banding: k=64 sig split into b bands × r rows; band key =
-   xxhash64(band bytes) — Spark-side Column ops on the sig array;
-3. candidates: self-equi-join on (band, key) with id< id to halve;
-   at scale this is a hash-partitioned shuffle join on band keys —
-   bucket skew (a viral shingle) is bounded because identical texts
-   were already removed by exact dedup upstream;
+   xxhash64(band slice) — Spark-side Column ops on the sig array;
+3. candidates: ONE map-side-combined groupBy on the band key with
+   in-bucket pair explosion (bounded by max_bucket, the dedup
+   analogue of ngram's max_df skew cap) — no big self-join;
 4. verify: exact Jaccard over the shingle-hash SETS cached at
    signature time (precision = 1 by construction; recall governed by
    (b, r)). The verify join moves only (id, sig, shingle-hash array)
@@ -20,13 +19,12 @@ Pipeline (the standard shingle → minhash → band → bucket-join shape):
    shuffled; the Jaccard itself is pure Column math
    (array_intersect/size), no second Python pass.
 
-Determinism: crc32 + fixed (a, b) tables derived from sha256 of the
-permutation index — stable across processes and partitionings.
+Determinism: splitmix64 seeds derived from sha256 of the permutation
+index — stable across processes and partitionings.
 """
 
 from __future__ import annotations
 
-import zlib
 from typing import Iterator
 
 import numpy as np
@@ -35,27 +33,70 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..hashing import stable_hash
 
-MERSENNE_P = (1 << 61) - 1
+def _perm_tables(k: int) -> np.ndarray:
+    """Per-permutation xor seeds for the splitmix64 finalizer.
+
+    NOT a linear (a·h + b) mod p family: with a < 2^29 and h < 2^32
+    the product wraps the modulus at most once, so the map is nearly
+    monotone in h — the argmin concentrates on the numerically small
+    shingle hashes and 'independent' permutations become heavily
+    correlated (measured: pairs at jaccard 0.9 collided in either
+    ~all bands or ZERO of 16, where theory says Binomial(16, 0.66)).
+    splitmix64 avalanches every input bit, restoring independence,
+    and is pure wrapping-uint64 numpy — no modulus needed."""
+    return np.array([stable_hash(f"minhash:seed:{i}")
+                     for i in range(k)], dtype=np.uint64)
 
 
-def _perm_tables(k: int) -> tuple[np.ndarray, np.ndarray]:
-    # base hashes are crc32 (< 2^32); with a < 2^29 and b < 2^61-1 the
-    # product a·h + b stays < 2^63, so (a·h + b) mod p is exact in
-    # plain uint64 numpy — fully vectorized, no bignum loop.
-    a = np.array([stable_hash(f"minhash:a:{i}") % ((1 << 29) - 1) + 1
-                  for i in range(k)], dtype=np.uint64)
-    b = np.array([stable_hash(f"minhash:b:{i}") % MERSENNE_P
-                  for i in range(k)], dtype=np.uint64)
-    return a, b
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15))
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
 
 
-def _shingle_hashes_np(text: str, n: int = 3) -> np.ndarray:
-    """Distinct char-n-gram hashes as uint64, fully vectorized: the
-    normalized utf-8 bytes are base-256-packed over a stride-n window
-    (INJECTIVE for n ≤ 8 — strictly better than a hash) and made
-    distinct with np.unique. The per-doc cost is a handful of numpy
-    ops; the old per-position Python crc32 loop was ~500 interpreter
-    calls per doc and dominated signature time at 10^6 docs."""
+_WORD_B = np.uint64(0x9E3779B97F4A7C15)  # odd golden-ratio multiplier
+
+
+def _shingle_hashes_np(text: str, n: int = 5,
+                       mode: str = "word") -> np.ndarray:
+    """Distinct n-gram shingle hashes as uint64 < 2^32, vectorized.
+
+    mode="word" (default): WORD n-grams, the shingling the public
+    MinHash-dedup recipes use (Gopher §A1.2 / RefinedWeb use 5-word
+    shingles). Char n-grams saturate: a corpus over a small alphabet
+    has only |Σ|^n possible shingles, the permutation minima
+    concentrate on the common ones, and LSH buckets grow with corpus
+    size until every true pair hides in an over-cap bucket (measured:
+    recall 9/10k at 10^6 docs on a hex-token corpus). Word n-grams
+    keep the shingle space growing with the vocabulary.
+
+    Vectorized: tokens hash via pd.util.hash_array (SipHash-1-3,
+    fixed key — process-stable), combined over the n-window by a
+    rolling odd-multiplier polynomial, masked to 32 bits (the
+    shingle sets ride the verify join as int32 arrays), then
+    np.unique.
+
+    mode="char": base-256 packing of utf-8 byte n-grams (injective
+    for n ≤ 4 after the mask) — kept for short-text use cases.
+    """
+    if mode == "word":
+        toks = text.lower().split()
+        if not toks:
+            return np.empty(0, dtype=np.uint64)
+        th = pd.util.hash_array(np.array(toks, dtype=object),
+                                categorize=False)
+        if th.size < n:
+            h = np.zeros(1, dtype=np.uint64)
+            for j in range(th.size):
+                h = h * _WORD_B + th[j]
+        else:
+            h = np.zeros(th.size - n + 1, dtype=np.uint64)
+            for j in range(n):
+                h = h * _WORD_B + th[j:th.size - n + 1 + j]
+        h &= np.uint64(0xFFFFFFFF)
+        return np.unique(h)
+
     t = " ".join(text.lower().split())
     b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
     if b.size == 0:
@@ -68,27 +109,25 @@ def _shingle_hashes_np(text: str, n: int = 3) -> np.ndarray:
     h = np.zeros(b.size - n + 1, dtype=np.uint64)
     for j in range(n):
         h = h * np.uint64(256) + b[j:b.size - n + 1 + j]
-    # keep hashes < 2^32: the (a·h + b) mod p permutation is exact in
-    # uint64 only under that bound (see _perm_tables); no-op for n ≤ 4
     h &= np.uint64(0xFFFFFFFF)
     return np.unique(h)
 
 
-def shingles(text: str, n: int = 3) -> set[int]:
-    return set(_shingle_hashes_np(text, n).tolist())
+def shingles(text: str, n: int = 5, mode: str = "word") -> set[int]:
+    return set(_shingle_hashes_np(text, n, mode).tolist())
 
 
 def _sig_from_hashes(h: np.ndarray, k: int, _tables={}) -> np.ndarray:
     if k not in _tables:
         _tables[k] = _perm_tables(k)
-    a, b = _tables[k]
+    seeds = _tables[k]
     if h.size == 0:
-        return np.full(k, MERSENNE_P, dtype=np.uint64)
-    m = (a[:, None] * h[None, :] + b[:, None]) % MERSENNE_P  # (k, |sh|)
+        return np.full(k, np.iinfo(np.uint64).max, dtype=np.uint64)
+    m = _splitmix64(h[None, :] ^ seeds[:, None])  # (k, |sh|)
     return m.min(axis=1)
 
 
-def minhash_signature(text: str, k: int = 64, n: int = 3) -> np.ndarray:
+def minhash_signature(text: str, k: int = 64, n: int = 5) -> np.ndarray:
     sh = shingles(text, n)
     return _sig_from_hashes(
         np.fromiter(sh, dtype=np.uint64, count=len(sh)), k)
@@ -96,7 +135,7 @@ def minhash_signature(text: str, k: int = 64, n: int = 3) -> np.ndarray:
 
 def with_signatures(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", k: int = 64,
-                    n: int = 3, include_shingles: bool = False) -> DataFrame:
+                    n: int = 5, include_shingles: bool = False) -> DataFrame:
     """→ (id, sig) [, sh] in ONE pass over the corpus. With
     include_shingles the distinct shingle-hash set rides along as an
     int32 array so the verify step never has to touch the text again."""
@@ -146,8 +185,18 @@ def with_signatures(df: DataFrame, text_col: str = "text",
 
 
 def candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
-                    bands: int = 16, rows: int = 4) -> DataFrame:
-    """LSH banding → distinct candidate (a, b) id pairs (a < b)."""
+                    bands: int = 16, rows: int = 4,
+                    max_bucket: int = 500) -> DataFrame:
+    """LSH banding → distinct candidate (a, b) id pairs (a < b).
+
+    Shape: ONE map-side-combined groupBy on the band key, then pairs
+    explode locally inside each bucket — not a 2×(docs·bands)-row
+    self-join (the previous form shuffled AND sorted both 16M-row
+    sides for a sort-merge join whose output is tiny). Buckets larger
+    than ``max_bucket`` are dropped, exactly like ngram's max_df cap:
+    a viral bucket (near-identical boilerplate) would emit O(c²)
+    pairs; a true near-dup pair caught only by an over-cap bucket is
+    overwhelmingly likely to collide in another of the `bands` bands."""
     banded = sigs.select(
         F.col(id_col),
         F.explode(F.array(*[
@@ -155,16 +204,31 @@ def candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
                      F.xxhash64(F.slice("sig", i * rows + 1, rows))
                      .alias("key"))
             for i in range(bands)])).alias("bk"))
-    l = banded.select(F.col(id_col).alias("a"), "bk")
-    r = banded.select(F.col(id_col).alias("b"), "bk")
-    return (l.join(r, "bk").where(F.col("a") < F.col("b"))
-            .select("a", "b").distinct())
+    buckets = (banded.groupBy("bk")
+               .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+               .where((F.size("ids") >= 2)
+                      & (F.size("ids") <= max_bucket)))
+    # all a<b pairs within a bucket, pure Column math (buckets are
+    # ≤ max_bucket so the local O(c²) explode is bounded); ids is
+    # sorted inside the aggregate so the lambdas below capture a plain
+    # column, never a re-evaluated expression (see memory: lambda
+    # capture recompute)
+    ids = F.col("ids")
+    pair_lists = F.flatten(F.transform(
+        F.sequence(F.lit(1), F.size(ids) - 1),
+        lambda i: F.transform(
+            F.sequence(i + 1, F.size(ids)),
+            lambda j: F.struct(F.element_at(ids, i).alias("a"),
+                               F.element_at(ids, j).alias("b")))))
+    return (buckets.select(F.explode(pair_lists).alias("p"))
+            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .distinct())
 
 
 def near_dup_pairs(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", threshold: float = 0.8,
                    k: int = 64, bands: int = 16, rows: int = 4,
-                   n: int = 3, persist: bool = True) -> DataFrame:
+                   n: int = 5, persist: bool = True) -> DataFrame:
     """Full pipeline → (a, b, jaccard) verified pairs ≥ threshold.
 
     The corpus text is read exactly once (the signature pass also

@@ -21,13 +21,13 @@ BASE = ("the quick brown fox jumps over the lazy dog and then runs far "
 
 
 def _corpus():
-    """40 docs: 10 clusters of 2 near-dups (jaccard ~0.9 within, <0.2
-    across — far from the 0.7 threshold so LSH recall is deterministic
-    in practice) + 20 distinct."""
+    """40 docs: 10 clusters of 2 near-dups (word-5-gram jaccard ~0.88
+    within, ~0 across — far enough above the 0.7 threshold that the
+    16x4 banding recall is deterministic in practice) + 20 distinct."""
     rows = []
     i = 0
     for c in range(10):
-        doc = " ".join(f"cluster{c}word{j}token{c * 31 + j}" for j in range(40))
+        doc = " ".join(f"cluster{c}word{j}token{c * 31 + j}" for j in range(80))
         rows.append((i, doc)); i += 1
         rows.append((i, doc.replace(f"cluster{c}word3", "REPLACED", 1)))
         i += 1
