@@ -101,9 +101,20 @@ def hamming(a, b):
 
 def near_dup_pairs_simhash(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id",
-                           max_distance: int = 3) -> DataFrame:
+                           max_distance: int = 3,
+                           max_bucket: int = 10_000) -> DataFrame:
     """→ (a, b, hamming_dist) pairs with distance ≤ max_distance.
-    Requires max_distance ≤ 3 for the 4-chunk pigeonhole to be exact."""
+    Requires max_distance ≤ 3 for the 4-chunk pigeonhole to be exact
+    (Manku et al. 2007: any two hashes within Hamming 3 share at
+    least one untouched 16-bit chunk).
+
+    Shape: ONE map-side-combined groupBy per (chunk, value) bucket,
+    pairwise Hamming inside the bucket in pure Column math — not a
+    2×(4·docs)-row self-join. Structural scale note: 16-bit chunk
+    keys mean expected bucket size docs/2^16, so in-bucket work grows
+    quadratically with the corpus; ``max_bucket`` caps the worst
+    buckets (a capped TRUE pair is only lost if all four of its
+    chunks are over-cap)."""
     assert max_distance <= 3
     sh = with_simhash(df, text_col, id_col)
     chunked = sh.select(
@@ -113,12 +124,24 @@ def near_dup_pairs_simhash(df: DataFrame, text_col: str = "text",
                      F.shiftrightunsigned("simhash", 16 * i)
                      .bitwiseAND(F.lit(0xFFFF)).alias("val"))
             for i in range(4)])).alias("ck"))
-    l = chunked.select(F.col(id_col).alias("a"),
-                       F.col("simhash").alias("sim_a"), "ck")
-    r = chunked.select(F.col(id_col).alias("b"),
-                       F.col("simhash").alias("sim_b"), "ck")
-    return (l.join(r, "ck").where(F.col("a") < F.col("b"))
-            .select("a", "b",
-                    hamming(F.col("sim_a"), F.col("sim_b")).alias("dist"))
+    buckets = (chunked.groupBy("ck")
+               .agg(F.array_sort(F.collect_list(
+                   F.struct(F.col(id_col).alias("i"),
+                            F.col("simhash").alias("s")))).alias("ds"))
+               .where((F.size("ds") >= 2)
+                      & (F.size("ds") <= max_bucket)))
+    ds = F.col("ds")
+    pair_lists = F.flatten(F.transform(
+        F.sequence(F.lit(1), F.size(ds) - 1),
+        lambda i: F.transform(
+            F.sequence(i + 1, F.size(ds)),
+            lambda j: F.struct(
+                F.element_at(ds, i).getField("i").alias("a"),
+                F.element_at(ds, j).getField("i").alias("b"),
+                hamming(F.element_at(ds, i).getField("s"),
+                        F.element_at(ds, j).getField("s"))
+                .alias("dist")))))
+    return (buckets.select(F.explode(pair_lists).alias("p"))
+            .select("p.a", "p.b", "p.dist")
             .where(F.col("dist") <= max_distance)
             .distinct())
