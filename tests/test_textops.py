@@ -500,3 +500,24 @@ def test_chunk_tokens_overlap_and_coverage(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         chunk_tokens(df, chunk_size=5, overlap=5)
+
+
+def test_ivf_prebuilt_index_equivalence(spark):
+    import numpy as np
+    from rustac_spark.ml.ann import (build_ivf_index, kmeans_centroids,
+                                     knn_ivf)
+    rng = [(i, [float(x) for x in np.sin(np.arange(16) * (i + 1) * 0.7)])
+           for i in range(200)]
+    vec = spark.createDataFrame(rng, ["vec_id", "embedding"])
+    q = (vec.where(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qvec")))
+    cents = kmeans_centroids(vec, n_centroids=8, dim=16, iters=2)
+    idx = build_ivf_index(vec, cents)
+    with_idx = {(r["query_id"], r["rank"], r["vec_id"]) for r in
+                knn_ivf(vec, q, k=3, n_probe=3, centroids=cents,
+                        index=idx).collect()}
+    without = {(r["query_id"], r["rank"], r["vec_id"]) for r in
+               knn_ivf(vec, q, k=3, n_probe=3,
+                       centroids=cents).collect()}
+    assert with_idx == without and len(with_idx) == 15
