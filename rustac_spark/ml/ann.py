@@ -232,7 +232,8 @@ def near_dup_pairs_cosine(vectors: DataFrame, threshold: float = 0.95,
                           id_col: str = "vec_id", vec_col: str = "embedding",
                           block_col: str | None = "label",
                           lsh_bits: int | None = None,
-                          dim: int = 64) -> DataFrame:
+                          dim: int = 64,
+                          max_bucket: int = 2_000) -> DataFrame:
     """Embedding-cosine near-dup pairs (a < b, sim ≥ threshold).
 
     Blocking (what keeps this off O(n²) at 10^12 rows):
@@ -245,7 +246,12 @@ def near_dup_pairs_cosine(vectors: DataFrame, threshold: float = 0.95,
       pair differing in exactly 2 sign bits i,j still collides
       (a^(1<<i) == b^(1<<j)), so a near-dup pair is missed only if
       its two vectors differ in ≥3 sign bits (rare at high
-      thresholds) — size lsh_bits against that recall contract;
+      thresholds) — size lsh_bits against that recall contract AND
+      against corpus size: expected bucket occupancy is
+      n·(1+lsh_bits)/2^lsh_bits, so take lsh_bits ≈ log2(n)+4 (16
+      bits over 10^6 vectors means ~260-deep buckets and ~2·10^9
+      candidate pairs even for perfectly dispersed embeddings;
+      measured: 24 bits → 9997/10000 planted pairs in 251 s at 10^6);
     - else: exhaustive crossJoin — correct, but the caller owns the
       quadratic cost; prefer one of the blockings at scale."""
     v = vectors.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"),
@@ -262,15 +268,32 @@ def near_dup_pairs_cosine(vectors: DataFrame, threshold: float = 0.95,
         probes = F.array(*([bucket] +
                            [bucket.bitwiseXOR(F.lit(1 << i))
                             for i in range(lsh_bits)]))
-        vb = v.withColumn("bucket", F.explode(probes))
-        a = vb.select(F.col(id_col).alias("a"), F.col("v").alias("va"),
-                      "bucket")
-        b = vb.select(F.col(id_col).alias("b"), F.col("v").alias("vb"),
-                      "bucket")
-        # a pair sharing several probe buckets would dup — distinct on
-        # the candidate ids before scoring keeps each pair scored once
-        cands = (a.join(b, "bucket").where(F.col("a") < F.col("b"))
-                 .select("a", "b").distinct())
+        # ids-only grouped buckets: the old self-join carried the full
+        # dim-double vector on BOTH sides of a (1+lsh_bits)-way
+        # exploded join (GC-thrashed at 10^6 × 64-dim), and a clustered
+        # corpus concentrates buckets — max_bucket bounds the in-bucket
+        # O(c²) pair explosion; a true pair is lost only if EVERY
+        # bucket it shares (its own + the 1-bit probes) is over cap
+        vb = v.select(F.col(id_col), F.explode(probes).alias("bucket"))
+        bkt = (vb.groupBy("bucket")
+               .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+               .where((F.size("ids") >= 2)
+                      & (F.size("ids") <= max_bucket)))
+        # two-step explode: materializing all O(c²) pairs of a bucket
+        # as ONE array makes multi-hundred-MB humongous allocations
+        # (G1 GC-locker thrash); exploding the outer index first keeps
+        # per-row arrays ≤ c elements
+        ids = F.col("ids")
+        outer = bkt.select(
+            "ids", F.explode(F.sequence(F.lit(1), F.size(ids) - 1))
+            .alias("i"))
+        inner = F.transform(
+            F.sequence(F.col("i") + 1, F.size(ids)),
+            lambda j: F.element_at(ids, j))
+        cands = (outer.select(
+                    F.element_at(ids, F.col("i")).alias("a"),
+                    F.explode(inner).alias("b"))
+                 .distinct())
         va = v.select(F.col(id_col).alias("a"), F.col("v").alias("va"))
         vbt = v.select(F.col(id_col).alias("b"), F.col("v").alias("vb"))
         joined = cands.join(va, "a").join(vbt, "b")

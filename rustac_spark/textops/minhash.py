@@ -208,20 +208,19 @@ def candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
                .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
                .where((F.size("ids") >= 2)
                       & (F.size("ids") <= max_bucket)))
-    # all a<b pairs within a bucket, pure Column math (buckets are
-    # ≤ max_bucket so the local O(c²) explode is bounded); ids is
-    # sorted inside the aggregate so the lambdas below capture a plain
-    # column, never a re-evaluated expression (see memory: lambda
-    # capture recompute)
+    # all a<b pairs within a bucket via TWO-step explode (outer index,
+    # then inner tail): one flattened O(c²) array per bucket row would
+    # be a humongous allocation at the cap; per-row arrays here are
+    # ≤ c elements. ids is sorted inside the aggregate so the lambdas
+    # capture a plain column, never a re-evaluated expression (see
+    # memory: lambda capture recompute).
     ids = F.col("ids")
-    pair_lists = F.flatten(F.transform(
-        F.sequence(F.lit(1), F.size(ids) - 1),
-        lambda i: F.transform(
-            F.sequence(i + 1, F.size(ids)),
-            lambda j: F.struct(F.element_at(ids, i).alias("a"),
-                               F.element_at(ids, j).alias("b")))))
-    return (buckets.select(F.explode(pair_lists).alias("p"))
-            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    outer = buckets.select(
+        "ids", F.explode(F.sequence(F.lit(1), F.size(ids) - 1)).alias("i"))
+    inner = F.transform(F.sequence(F.col("i") + 1, F.size(ids)),
+                        lambda j: F.element_at(ids, j))
+    return (outer.select(F.element_at(ids, F.col("i")).alias("a"),
+                         F.explode(inner).alias("b"))
             .distinct())
 
 

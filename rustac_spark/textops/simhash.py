@@ -130,18 +130,22 @@ def near_dup_pairs_simhash(df: DataFrame, text_col: str = "text",
                             F.col("simhash").alias("s")))).alias("ds"))
                .where((F.size("ds") >= 2)
                       & (F.size("ds") <= max_bucket)))
+    # two-step explode (outer index, then inner tail): one flattened
+    # O(c²) array per bucket row would be a humongous allocation at
+    # the cap; per-row arrays here are ≤ c elements
     ds = F.col("ds")
-    pair_lists = F.flatten(F.transform(
-        F.sequence(F.lit(1), F.size(ds) - 1),
-        lambda i: F.transform(
-            F.sequence(i + 1, F.size(ds)),
-            lambda j: F.struct(
-                F.element_at(ds, i).getField("i").alias("a"),
-                F.element_at(ds, j).getField("i").alias("b"),
-                hamming(F.element_at(ds, i).getField("s"),
-                        F.element_at(ds, j).getField("s"))
-                .alias("dist")))))
-    return (buckets.select(F.explode(pair_lists).alias("p"))
-            .select("p.a", "p.b", "p.dist")
+    outer = buckets.select(
+        "ds", F.explode(F.sequence(F.lit(1), F.size(ds) - 1)).alias("i"))
+    inner = F.transform(
+        F.sequence(F.col("i") + 1, F.size(ds)),
+        lambda j: F.struct(
+            F.element_at(ds, j).getField("i").alias("b"),
+            hamming(F.element_at(ds, F.col("i")).getField("s"),
+                    F.element_at(ds, j).getField("s")).alias("dist")))
+    return (outer.select(
+                F.element_at(ds, F.col("i")).getField("i").alias("a"),
+                F.explode(inner).alias("p"))
+            .select("a", F.col("p.b").alias("b"),
+                    F.col("p.dist").alias("dist"))
             .where(F.col("dist") <= max_distance)
             .distinct())
