@@ -44,6 +44,7 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
               .withColumn("label", F.col("u")).persist())
     labels.count()  # materialize before the loop
 
+    converged = False
     for _ in range(max_iter):
         nbr_min = (edges
                    .join(labels.select(F.col("u").alias("v"),
@@ -51,17 +52,32 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
                          "v")
                    .groupBy("u")
                    .agg(F.min("vlabel").alias("nbr")))
-        new_labels = (labels.join(nbr_min, "u", "left")
-                      .select("u", F.least("label", "nbr").alias("label"))
-                      .persist())
+        stepped = (labels.join(nbr_min, "u", "left")
+                   .select("u", F.least("label", "nbr").alias("label")))
+        # pointer jumping (path doubling): label(u) ← label(label(u)).
+        # Plain neighbor-min needs diameter-many rounds — a 10^4-node
+        # chain would exhaust max_iter and SILENTLY return wrong
+        # labels; with the jump the round count is O(log diameter).
+        new_labels = (stepped.join(
+            stepped.select(F.col("u").alias("label"),
+                           F.col("label").alias("ll")),
+            "label", "left")
+            .select("u", F.least("label", "ll").alias("label"))
+            .persist())
         changed = (new_labels.join(
             labels.select("u", F.col("label").alias("old")), "u")
             .where(F.col("label") != F.col("old")).count())
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"pointer-jumping rounds — raise max_iter (graph diameter "
+            f"> 2^{max_iter})")
     return labels.select(F.col("u").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
 

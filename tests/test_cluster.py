@@ -81,3 +81,16 @@ def test_dedup_retain_keeps_representatives_and_singletons(spark):
     kept = sorted(r["doc_id"]
                   for r in dedup_retain(docs, clusters).collect())
     assert kept == [0, 1, 5]
+
+
+def test_connected_components_long_chain(spark):
+    """A 2000-node path graph (diameter 1999) must converge via
+    pointer jumping — plain min-propagation would need 1999 rounds
+    and silently mislabel under max_iter=25."""
+    from rustac_spark.textops.cluster import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1999)], ["a", "b"])
+    out = connected_components(pairs).collect()
+    assert len(out) == 2000
+    assert {r["cluster_id"] for r in out} == {0}
