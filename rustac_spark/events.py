@@ -16,35 +16,40 @@ def asof_join(left: DataFrame, right: DataFrame, key_col: str,
     Spark lacks natively; DuckDB spells it ASOF JOIN).
 
     Physical shape: tag both sides, UNION, one per-key sorted window,
-    carry the last non-null right values forward
-    (``last(..., ignorenulls=True)``), keep left rows. ONE shuffle on
-    the key, rows processed once — no per-key range explosion, no
+    carry the last right row forward as a SINGLE struct
+    (``last(struct, ignorenulls=True)``), keep left rows. ONE shuffle
+    on the key, rows processed once — no per-key range explosion, no
     UDF; the shape that survives 10^12 events. On a timestamp tie the
     right row sorts first, so equal timestamps match (≤ semantics,
     matching DuckDB's ASOF).
 
+    The struct carry is load-bearing for correctness: carrying each
+    right column independently with last(col, ignorenulls=True) would
+    backfill a NULL value in the as-of row from an OLDER right row,
+    mixing columns of different rows. The struct is non-null whenever
+    a right row exists, so all attached values always come from the
+    one true as-of row — NULLs included.
+
     Unmatched left rows keep NULL right columns (left-join contract).
     """
-    carried = [F.col(c).alias(f"{c}{suffix}") for c in right_cols] + \
-        [F.col(ts_col).alias(f"{ts_col}{suffix}")]
-    r = right.select(F.col(key_col), F.col(ts_col), *carried) \
-        .withColumn("_side", F.lit(0))
+    rrow = F.struct(
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.col(ts_col).alias(f"{ts_col}{suffix}"))
+    r = right.select(F.col(key_col), F.col(ts_col),
+                     rrow.alias("_rrow")).withColumn("_side", F.lit(0))
     lcols = left.columns
-    l = left
-    for c in right_cols + [ts_col]:
-        l = l.withColumn(f"{c}{suffix}",
-                         F.lit(None).cast(r.schema[f"{c}{suffix}"]
-                                          .dataType.simpleString()))
-    l = l.withColumn("_side", F.lit(1))
+    l = (left
+         .withColumn("_rrow",
+                     F.lit(None).cast(r.schema["_rrow"].dataType))
+         .withColumn("_side", F.lit(1)))
     u = l.unionByName(r, allowMissingColumns=True)
     w = (Window.partitionBy(key_col)
          .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
          .rowsBetween(Window.unboundedPreceding, 0))
-    for c in right_cols + [ts_col]:
-        u = u.withColumn(f"{c}{suffix}",
-                         F.last(f"{c}{suffix}", ignorenulls=True).over(w))
+    u = u.withColumn("_rrow", F.last("_rrow", ignorenulls=True).over(w))
+    out_cols = [f"{c}{suffix}" for c in right_cols + [ts_col]]
     return u.where(F.col("_side") == 1).select(
-        *lcols, *[f"{c}{suffix}" for c in right_cols + [ts_col]])
+        *lcols, *[F.col(f"_rrow.{c}").alias(c) for c in out_cols])
 
 
 def range_join(left: DataFrame, right: DataFrame, key_col: str,

@@ -69,12 +69,13 @@ def knn_cells(pages: DataFrame, queries: DataFrame, k: int = 5,
     neighbour might lie outside are re-run exactly over a bounded
     lat/lon band.
 
-    Physical shape: the candidate top-k (≤ |queries|·k rows) is
-    persisted, and the per-query verdict is decided driver-side from
-    one small collect — so the expensive candidate join runs ONCE, not
-    once per consumer branch (verdict / ok-branch / fallback). Eager
-    like spatio_temporal_join's bound collection: queries are small by
-    contract.
+    Physical shape: the candidate top-k (≤ |queries|·k rows, tiny by
+    the small-queries contract) is collected ONCE; the per-query
+    verdict is decided driver-side from those rows and the ok branch
+    is rebuilt with createDataFrame — so the expensive candidate join
+    runs exactly once, with no persist to leak cached blocks into the
+    session (a r3-advice fix: the earlier persist was never
+    unpersisted). Eager like spatio_temporal_join's bound collection.
     """
     pc = pages.select("url", "lat", "lon").withColumn(
         "cell", cell_of_point(F.col("lon"), F.col("lat"), res))
@@ -86,7 +87,10 @@ def knn_cells(pages: DataFrame, queries: DataFrame, k: int = 5,
     cand = (pc.join(F.broadcast(q.drop("qcell")), "cell")
             .withColumn("dist_km", haversine_km(
                 F.col("lat"), F.col("lon"), F.col("qlat"), F.col("qlon"))))
-    topk = _rank_topk(cand, k).persist()
+    spark = pages.sparkSession
+    topk_df = _rank_topk(cand, k)
+    topk_schema = topk_df.schema
+    topk_rows = topk_df.collect()
 
     # safe radius: (rings) cells minus one diagonal. 1° of longitude is
     # 111·cos(lat) km, so the equatorial bound overstates coverage at
@@ -97,10 +101,12 @@ def knn_cells(pages: DataFrame, queries: DataFrame, k: int = 5,
     # exact (bounded) brute-force path.
     dx, dy = cell_size_deg(res)
     base_km = rings * min(dx, dy) * 111.0 * 0.5
-    stats = {r["query_id"]: (r["n"], r["dmax"])
-             for r in topk.groupBy("query_id")
-             .agg(F.count("*").alias("n"),
-                  F.max("dist_km").alias("dmax")).collect()}
+    stats: dict[int, tuple[int, float | None]] = {}
+    for r in topk_rows:
+        n, dmax = stats.get(r["query_id"], (0, None))
+        d = r["dist_km"]
+        stats[r["query_id"]] = (
+            n + 1, d if dmax is None else max(dmax, d))
     flagged: dict[int, float | None] = {}
     bands: list[tuple[float, float, float]] = []  # (qlon, qlat, dmax)
     for r in queries.select("query_id", F.col("qxmin").alias("qlon"),
@@ -119,8 +125,11 @@ def knn_cells(pages: DataFrame, queries: DataFrame, k: int = 5,
             bands.append((r["qlon"], r["qlat"], float(dmax)))
     out_cols = ["query_id", "rank", "url", "dist_km"]
     if not flagged:
-        return topk.select(*out_cols)
-    ok = topk.where(~F.col("query_id").isin(list(flagged)))
+        return (spark.createDataFrame(topk_rows, topk_schema)
+                .select(*out_cols))
+    ok = spark.createDataFrame(
+        [r for r in topk_rows if r["query_id"] not in flagged],
+        topk_schema)
     redo_pages = pages
     if len(bands) == len(flagged):
         # every flagged query is bounded and its band is a DRIVER
@@ -145,7 +154,6 @@ def knn_cells(pages: DataFrame, queries: DataFrame, k: int = 5,
         for p in preds[1:]:
             pre = pre | p
         redo_pages = pages.where(pre)
-    spark = pages.sparkSession
     redo = queries.join(
         F.broadcast(spark.createDataFrame(
             list(flagged.items()), "query_id long, dmax double")),

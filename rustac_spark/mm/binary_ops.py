@@ -156,13 +156,18 @@ def sample_video_frames(df: DataFrame, bin_col: str = "payload",
                 data = bytes(data)
                 try:
                     frames = avi_mjpeg_frames(data)
+                except ValueError:
+                    frames = []
+                # a valid AVI whose streams are not MJPEG (e.g.
+                # H.264-in-AVI) parses cleanly but yields no frames;
+                # fall through to the stub rather than silently
+                # dropping the row
+                if frames:
                     sampled = (frames[::max(1, every_n)][:max_frames]
                                or frames[:1])
                     for i, f in enumerate(sampled):
                         rows.append((url, i, f))
                     continue
-                except ValueError:
-                    pass
                 for i, frame in enumerate(
                         sample_frames_stub(data, every_n)):
                     rows.append((url, i, frame))

@@ -160,7 +160,13 @@ class SnapshotTable:
         rewrite = [p for p in old if tail2(p) in touched_tails]
         new_files: list[str] = []
         if rewrite:
-            survivors = self.spark.read.parquet(*rewrite).where(~cond)
+            # SQL / Iceberg DELETE removes only rows where the
+            # condition is TRUE; rows where it evaluates NULL must
+            # survive. `~cond` alone would drop NULL-evaluating rows
+            # (and only in touched files — file-layout-dependent), so
+            # keep NOT TRUE explicitly.
+            survivors = (self.spark.read.parquet(*rewrite)
+                         .where(F.coalesce(~cond, F.lit(True))))
             new_files, _ = self._stage_files(survivors)
         return self._publish(parent, keep + new_files, "delete")
 

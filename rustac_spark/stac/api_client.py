@@ -76,5 +76,12 @@ def read_stac_api(spark, url: str, search_body: dict | None = None,
             n += 1
     if n == 0:
         # empty ItemCollection: schemaless NDJSON would fail inference
+        os.remove(path)
         return spark.range(0).select()
-    return read_ndjson_items(spark, path)
+    # eager checkpoint so the spool file can be deleted immediately —
+    # the result is bounded by max_pages, so materializing it is
+    # cheap, and nothing in the session keeps a handle on the temp
+    # file afterwards (r3-advice cleanup)
+    df = read_ndjson_items(spark, path).localCheckpoint(eager=True)
+    os.remove(path)
+    return df

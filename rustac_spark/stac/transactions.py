@@ -1,0 +1,234 @@
+"""STAC Transaction extension over snapshot-table storage.
+
+Reimplements the reference's write surface —
+``TransactionClient::add_item / add_items / add_collection``
+(crates/core/src/api/client.rs:103-122) and the server's transaction
+routes (POST /collections, POST /collections/{id}/items) — on top of
+the engine's Iceberg-style ``SnapshotTable``: every write is an atomic
+file-granular commit, so the catalog keeps time travel ("what did the
+collection contain before this ingest batch?") and optimistic
+concurrency for free.
+
+Scale posture: ``add_items`` appends parquet files without rewriting
+the table (O(batch) work); ``upsert_items`` is the file-granular COW
+merge (only files containing a replaced (collection, id) are
+rewritten). Collection extents are DERIVED from the item table by the
+same aggregation the reference runs in
+``Client::collections`` (crates/duckdb/src/client.rs:123-181) — no
+separately-maintained extent rows to drift out of sync.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..pipeline.snapshots import SnapshotTable
+from .api import collections as derive_collections
+from .search import Search, build_plan
+
+
+def _align(df: DataFrame, target: DataFrame) -> DataFrame:
+    """Project `df` onto `target`'s schema: missing columns become
+    NULL, extra columns are dropped, types are cast. Transactional
+    appends must not fork the table schema (the snapshot reader has
+    no mergeSchema pass — by design: a 10^12-row table wants one
+    authoritative schema, with evolution as an explicit migration)."""
+    cols = []
+    for f in target.schema.fields:
+        if f.name in df.columns:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+class TransactionClient:
+    """STAC write API bound to a SnapshotTable of items.
+
+    Mirrors crates/core/src/api/client.rs:103-122: add_item posts one
+    item, add_items a FeatureCollection batch, add_collection a new
+    (possibly empty) collection. Reads go through the same Search
+    planner the query engine uses.
+    """
+
+    def __init__(self, spark: SparkSession, table_dir: str):
+        self.spark = spark
+        self.table = SnapshotTable(spark, table_dir)
+        self._collections_meta = f"{table_dir}/_meta/collections.json"
+
+    # ------------------------------------------------------- reading
+
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        return self.table.read(snapshot_id)
+
+    def search(self, search: Search | None = None,
+               snapshot_id: int | None = None) -> DataFrame:
+        return build_plan(self.read(snapshot_id), search or Search())
+
+    def collections(self) -> list[dict]:
+        """Registered collections merged with item-derived extents —
+        a registered-but-empty collection appears with a null extent;
+        an unregistered collection that has items still appears
+        (derived), matching the reference's item-table-driven
+        listing."""
+        derived = {c["id"]: c for c in derive_collections(self.read())}
+        out = dict(derived)
+        for cid, meta in self._registered().items():
+            if cid in out:
+                out[cid] = {**meta, **out[cid],
+                            "description": meta.get("description")}
+            else:
+                out[cid] = meta
+        return sorted(out.values(), key=lambda c: c["id"])
+
+    # ------------------------------------------------------- writing
+
+    def add_items(self, items: DataFrame) -> int:
+        """Append a batch of items (one atomic snapshot). The batch is
+        schema-aligned to the table; ids are not checked for
+        uniqueness (STAC POST semantics — use upsert_items for
+        idempotent ingest)."""
+        if self.table.current_snapshot_id() is None:
+            return self.table.create(items)
+        return self.table.append(_align(items, self.read()))
+
+    def add_item(self, item: dict) -> int:
+        """Single STAC item dict → one-row commit (POST
+        /collections/{cid}/items). GeoJSON geometry is encoded to the
+        table's WKB column, bbox derived when absent, properties.*
+        hoisted to FlatItem columns, datetimes parsed with the same
+        permissive parser the search path uses."""
+        return self.add_items(self._items_df([item]))
+
+    def add_item_dicts(self, items: list[dict]) -> int:
+        """Batch dict ingest (POST FeatureCollection)."""
+        return self.add_items(self._items_df(items))
+
+    def upsert_items(self, items: DataFrame) -> int:
+        """MERGE by (collection, id): existing versions of the
+        incoming items are deleted (file-granular COW), then the batch
+        appends — PUT semantics. Two snapshots: delete + append."""
+        aligned = _align(items, self.read())
+        keys = [(r["collection"], r["id"])
+                for r in aligned.select("collection", "id").collect()]
+        cond = F.lit(False)
+        for cid, iid in keys:
+            cond = cond | ((F.col("collection") == cid)
+                           & (F.col("id") == iid))
+        self.table.delete_where(cond)
+        return self.table.append(aligned)
+
+    def delete_item(self, collection_id: str, item_id: str) -> int:
+        return self.table.delete_where(
+            (F.col("collection") == collection_id)
+            & (F.col("id") == item_id))
+
+    def add_collection(self, collection: dict) -> None:
+        """Register collection metadata (POST /collections). Items
+        are not required to exist yet; extents are derived live at
+        listing time."""
+        reg = self._registered()
+        reg[collection["id"]] = {"type": "Collection", **collection}
+        d = os.path.dirname(self._collections_meta)
+        os.makedirs(d, exist_ok=True)
+        tmp = f"{self._collections_meta}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(reg, f)
+        os.replace(tmp, self._collections_meta)
+
+    # ------------------------------------------------------ plumbing
+
+    def _registered(self) -> dict:
+        if not os.path.exists(self._collections_meta):
+            return {}
+        with open(self._collections_meta) as f:
+            return json.load(f)
+
+    def _items_df(self, items: list[dict]) -> DataFrame:
+        """Normalize STAC item dicts driver-side (POST bodies are
+        small by contract) into FlatItem rows: GeoJSON geometry →
+        WKB bytes, bbox struct derived from the geometry when the
+        item carries none, properties.* hoisted, datetime-family
+        strings parsed to naive-UTC timestamps (the fixture/table
+        convention). Unknown property columns survive into the row —
+        `_align` decides their fate against the table schema."""
+        from datetime import datetime
+
+        from ..geo.wkbio import geojson_to_wkb, wkb_bounds
+        from .datetime_parse import parse_rfc3339
+
+        rows = []
+        for it in items:
+            row: dict = {
+                "type": "Feature",
+                "stac_version": it.get("stac_version", "1.1.0"),
+                "stac_extensions": it.get("stac_extensions", []),
+                "id": it["id"],
+                "collection": it.get("collection"),
+            }
+            geom = it.get("geometry")
+            wkb = geojson_to_wkb(geom) if geom else None
+            row["geometry"] = wkb
+            bbox = it.get("bbox")
+            if bbox is None and wkb is not None:
+                bbox = wkb_bounds(wkb)
+            if bbox is not None:
+                from pyspark.sql import Row
+                row["bbox"] = Row(xmin=float(bbox[0]),
+                                  ymin=float(bbox[1]),
+                                  xmax=float(bbox[2]),
+                                  ymax=float(bbox[3]))
+            for k, v in (it.get("properties") or {}).items():
+                if k in ("datetime", "start_datetime", "end_datetime",
+                         "created", "updated"):
+                    ts = parse_rfc3339(v) if isinstance(v, str) else None
+                    row[k] = ts.replace(tzinfo=None) if ts else None
+                else:
+                    row[k] = v
+            rows.append(row)
+        from pyspark.sql import Row
+        from pyspark.sql.types import (ArrayType, BinaryType, BooleanType,
+                                       DoubleType, LongType, StringType,
+                                       StructField, StructType,
+                                       TimestampNTZType)
+        if self.table.current_snapshot_id() is not None:
+            # table exists: build against its schema (no inference —
+            # a one-row POST with NULL columns must still type-check)
+            schema = self.read().schema
+            data = [tuple(r.get(f.name) for f in schema.fields)
+                    for r in rows]
+            return self.spark.createDataFrame(data, schema)
+
+        def infer(v):
+            if isinstance(v, bool):
+                return BooleanType()
+            if isinstance(v, int):
+                return LongType()
+            if isinstance(v, float):
+                return DoubleType()
+            if isinstance(v, (bytes, bytearray)):
+                return BinaryType()
+            if isinstance(v, datetime):
+                return TimestampNTZType()
+            if isinstance(v, Row):
+                return StructType([
+                    StructField(k, infer(x), True)
+                    for k, x in v.asDict().items()])
+            if isinstance(v, (list, tuple)):
+                return ArrayType(infer(v[0]) if v else StringType())
+            return StringType()
+
+        keys: list[str] = []
+        for r in rows:
+            keys += [k for k in r if k not in keys]
+        fields = []
+        for k in keys:
+            vals = [r[k] for r in rows if r.get(k) is not None]
+            fields.append(StructField(
+                k, infer(vals[0]) if vals else StringType(), True))
+        schema = StructType(fields)
+        return self.spark.createDataFrame(
+            [tuple(r.get(k) for k in keys) for r in rows], schema)

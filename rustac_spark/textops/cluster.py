@@ -17,9 +17,14 @@ graph diameter; near-dup components are dense (banding emits
 near-cliques), so diameter is tiny in practice — the classic
 large-star/small-star contraction (Kiveris et al., "Connected
 Components in MapReduce and Beyond") is the drop-in upgrade if a
-pathological chain-shaped graph ever matters. Each round persists its
-label table and unpersists the previous one, so lineage stays O(1)
-and a failed round recomputes one join, not the whole history.
+pathological chain-shaped graph ever matters. Each round ends with an
+eager `localCheckpoint`, which BOTH materializes the label table and
+truncates its lineage — persist() alone caches data but leaves the
+logical plan growing (the pointer-jump self-join doubles it per
+round, overflowing Spark's 2 GiB plan-string cap at depth ~11 on
+chain graphs); checkpointing keeps the per-round plan O(1). On a real
+cluster swap `localCheckpoint` for `checkpoint` (HDFS-backed) so a
+lost executor does not lose label blocks.
 
 Convergence is detected with a cheap `changed == 0` probe (LIMIT 1
 semantics via count on the persisted diff), driver-side.
@@ -38,11 +43,12 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
     order-independent). Only ids that appear in ≥1 pair are emitted —
     singletons are their own trivial cluster and never shuffle."""
     e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-    edges = e.union(e.select(F.col("v").alias("u"),
-                             F.col("u").alias("v"))).distinct().persist()
+    edges = (e.union(e.select(F.col("v").alias("u"),
+                              F.col("u").alias("v"))).distinct()
+             .localCheckpoint(eager=True))
     labels = (edges.select("u").distinct()
-              .withColumn("label", F.col("u")).persist())
-    labels.count()  # materialize before the loop
+              .withColumn("label", F.col("u"))
+              .localCheckpoint(eager=True))
 
     converged = False
     for _ in range(max_iter):
@@ -58,21 +64,23 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
         # Plain neighbor-min needs diameter-many rounds — a 10^4-node
         # chain would exhaust max_iter and SILENTLY return wrong
         # labels; with the jump the round count is O(log diameter).
+        # The eager localCheckpoint below is load-bearing: the
+        # self-join nests `stepped`'s plan twice, so without lineage
+        # truncation the plan doubles per round and overflows the
+        # 2 GiB plan-string limit at depth ~11 (chain-shaped graphs).
         new_labels = (stepped.join(
             stepped.select(F.col("u").alias("label"),
                            F.col("label").alias("ll")),
             "label", "left")
             .select("u", F.least("label", "ll").alias("label"))
-            .persist())
+            .localCheckpoint(eager=True))
         changed = (new_labels.join(
             labels.select("u", F.col("label").alias("old")), "u")
             .where(F.col("label") != F.col("old")).count())
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             converged = True
             break
-    edges.unpersist()
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
@@ -99,9 +107,13 @@ def dedup_retain(docs: DataFrame, clusters: DataFrame,
                  id_col: str = "doc_id") -> DataFrame:
     """Apply the canonical keep-rule to the corpus: drop every cluster
     member except the component minimum (cluster_id), keep all
-    singletons. One broadcast-friendly anti-join against the (small)
-    non-representative member list — the corpus itself is not
-    shuffled, so retention scales as a narrow filter at 100 TB."""
+    singletons. A plain left_anti join against the non-representative
+    member list: no forced broadcast — at web scale near-dup retention
+    drops 20-50% of the corpus, so the drop side is billions of ids
+    and broadcasting it would OOM every executor. AQE picks broadcast
+    automatically when the drop list is in fact small (it usually is
+    at test scale); otherwise this is one hash-partitioned anti-join
+    on the id, which is the correct 100 TB plan."""
     drop = clusters.where(
         F.col(id_col) != F.col("cluster_id")).select(id_col)
-    return docs.join(F.broadcast(drop), id_col, "left_anti")
+    return docs.join(drop, id_col, "left_anti")

@@ -150,3 +150,23 @@ def test_range_join_boundary_inclusive(spark):
     got = sorted(r["rid_r"] for r in range_join(
         left, right, "user_id", "ts", 3600, ["rid"]).collect())
     assert got == [1, 2]
+
+
+def test_asof_join_null_value_not_backfilled(spark):
+    """The attached columns must all come from the single as-of right
+    row — a NULL value in that row stays NULL instead of being
+    backfilled from an older right row (struct-carry regression)."""
+    from rustac_spark.events import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 10:03:00")],
+        "event_id long, user_id long, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 5.0),
+         (1, "2024-01-01 10:02:00", None)],   # the true as-of row
+        "user_id long, ts string, value double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    row = asof_join(left, right, "user_id", "ts", ["value"]).collect()[0]
+    assert row["value_asof"] is None           # NOT backfilled to 5.0
+    assert str(row["ts_asof"]) == "2024-01-01 10:02:00"

@@ -314,3 +314,20 @@ def test_gif_decode_lzw_and_interlace():
 
     with pytest.raises(ValueError):
         gif_decode(b"GIF89a" + b"\x00" * 20)
+
+
+def test_video_non_mjpeg_avi_falls_back_to_stub(spark):
+    """A valid RIFF/AVI whose movi payloads are not JPEG (e.g.
+    H.264-in-AVI) parses cleanly but yields zero MJPEG frames; the row
+    must fall through to the deterministic stub instead of being
+    silently dropped from the output."""
+    from rustac_spark.mm.binary_ops import sample_video_frames
+    from rustac_spark.mm.codecs import avi_mjpeg_encode, avi_mjpeg_frames
+
+    fake_h264 = avi_mjpeg_encode([b"\x00\x00\x00\x01gibberish" * 8],
+                                 4, 4)
+    assert avi_mjpeg_frames(fake_h264) == []   # precondition
+    df = spark.createDataFrame([("u1", bytearray(fake_h264))],
+                               "url string, payload binary")
+    out = sample_video_frames(df).collect()
+    assert len(out) >= 1 and out[0]["url"] == "u1"

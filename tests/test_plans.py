@@ -180,3 +180,26 @@ def test_tfidf_tokenizes_corpus_once(spark):
     # the un-persisted form is the documented double-tokenize trap
     bad = _physical(top_terms(d, k=2, persist=False))
     assert bad.count("Scan parquet") >= 3
+
+
+def test_dedup_retain_no_forced_broadcast(spark):
+    """dedup_retain must NOT hint a broadcast of the drop list: at web
+    scale retention drops a large fraction of the corpus, so the drop
+    side is not broadcastable. With autoBroadcast disabled (simulating
+    a drop side over the threshold) the anti-join must plan as a
+    shuffle join, proving no explicit broadcast hint survives."""
+    from rustac_spark.textops.cluster import dedup_retain
+
+    docs = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), F.lit("t").alias("text"))
+    clusters = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") - F.col("id") % 2).alias("cluster_id"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _physical(dedup_retain(docs, clusters))
+        assert "BroadcastExchange" not in plan
+        assert "LeftAnti" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -1,0 +1,146 @@
+"""STAC API HTTP server (entry point B): all reference routes served
+end-to-end (crates/server/src/routes.rs:104-114), incl. paging links
+consumed by the repo's own api_client, plus transaction routes."""
+
+import json
+import urllib.request
+
+import pytest
+
+from rustac_spark.stac.server import serve
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return r.status, json.loads(r.read().decode())
+
+
+def _post(url, body):
+    req = urllib.request.Request(
+        url, data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    with urllib.request.urlopen(req, timeout=10) as r:
+        return r.status, json.loads(r.read().decode())
+
+
+@pytest.fixture(scope="module")
+def server(spark, stac_items):
+    srv, base = serve(items=stac_items, background=True)
+    yield base
+    srv.shutdown()
+    srv.server_close()
+
+
+def test_landing_api_conformance_queryables(server):
+    st, landing = _get(f"{server}/")
+    assert st == 200 and landing["type"] == "Catalog"
+    rels = {l["rel"] for l in landing["links"]}
+    assert {"self", "service-desc", "conformance", "data",
+            "search"} <= rels
+    st, api = _get(f"{server}/api")
+    assert st == 200 and api["openapi"].startswith("3.")
+    st, conf = _get(f"{server}/conformance")
+    assert st == 200 and any("item-search" in c
+                             for c in conf["conformsTo"])
+    st, q = _get(f"{server}/queryables")
+    assert st == 200 and "eo:cloud_cover" in q["properties"]
+
+
+def test_collections_and_collection(server):
+    st, colls = _get(f"{server}/collections")
+    ids = [c["id"] for c in colls["collections"]]
+    assert st == 200 and "collection-a" in ids
+    st, c = _get(f"{server}/collections/collection-a")
+    assert st == 200
+    assert c["extent"]["spatial"]["bbox"][0][0] is not None
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{server}/collections/nope")
+    assert e.value.code == 404
+
+
+def test_collection_items_and_item(server):
+    st, fc = _get(f"{server}/collections/collection-a/items?limit=7")
+    assert st == 200 and fc["type"] == "FeatureCollection"
+    assert fc["numberReturned"] == 7
+    assert all(f["collection"] == "collection-a"
+               for f in fc["features"])
+    st, it = _get(f"{server}/collections/collection-a/items/item-0042")
+    assert st == 200 and it["id"] == "item-0042"
+    assert it["type"] == "Feature" and it["geometry"]["type"] == "Polygon"
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{server}/collections/collection-a/items/item-xxxx")
+    assert e.value.code == 404
+
+
+def test_search_get_with_params_and_paging(server):
+    st, fc = _get(f"{server}/search?bbox=-106.1,40.5,-106.0,40.6"
+                  f"&datetime=2024&limit=5&sortby=id")
+    assert st == 200 and fc["numberReturned"] == 5
+    assert fc["numberMatched"] > 5
+    nxt = next(l for l in fc["links"] if l["rel"] == "next")
+    st, page2 = _get(nxt["href"])
+    ids1 = {f["id"] for f in fc["features"]}
+    ids2 = {f["id"] for f in page2["features"]}
+    assert ids1.isdisjoint(ids2)
+
+
+def test_search_get_invalid_bbox_400(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{server}/search?bbox=5,5,1,1")
+    assert e.value.code == 400
+
+
+def test_search_post_paged_via_own_client(server):
+    """The repo's api_client walks POST /search next links against
+    this server — full client↔server loop, no mocks."""
+    from rustac_spark.stac.api_client import fetch_search_features
+    feats = list(fetch_search_features(
+        server, {"collections": ["collection-a"], "limit": 9,
+                 "sortby": "id"}))
+    assert len(feats) == 100
+    ids = [f["id"] for f in feats]
+    assert len(set(ids)) == 100 and ids == sorted(ids)
+
+
+def test_search_post_cql2(server):
+    st, fc = _post(f"{server}/search",
+                   {"filter": "sat:relative_orbit = 98 and "
+                              "eo:cloud_cover < 50", "limit": 100})
+    assert st == 200
+    assert all(f["properties"]["eo:cloud_cover"] < 50
+               for f in fc["features"])
+    assert fc["numberMatched"] == fc["numberReturned"]
+
+
+def test_transaction_routes(spark, stac_items, tmp_path):
+    from rustac_spark.stac.transactions import TransactionClient
+    txn = TransactionClient(spark, str(tmp_path / "tbl"))
+    txn.add_items(stac_items)
+    srv, base = serve(txn=txn, background=True)
+    try:
+        st, out = _post(f"{base}/collections",
+                        {"id": "collection-w", "description": "new"})
+        assert st == 201
+        st, out = _post(
+            f"{base}/collections/collection-w/items",
+            {"type": "Feature", "id": "item-w1",
+             "geometry": {"type": "Point", "coordinates": [3.0, 4.0]},
+             "properties": {"datetime": "2025-06-01T00:00:00Z"}})
+        assert st == 201 and out["added"] == 1
+        # the added item is immediately searchable
+        st, fc = _get(f"{base}/search?ids=item-w1")
+        assert fc["numberMatched"] == 1
+        assert fc["features"][0]["collection"] == "collection-w"
+        assert fc["features"][0]["bbox"] == [3.0, 4.0, 3.0, 4.0]
+        # and the registered collection lists with the derived one
+        st, colls = _get(f"{base}/collections")
+        assert "collection-w" in [c["id"] for c in colls["collections"]]
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_read_only_server_rejects_writes(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{server}/collections", {"id": "x"})
+    assert e.value.code == 405

@@ -116,3 +116,17 @@ def test_stream_to_table_exactly_once(spark, tmp_path):
     some = spark.createDataFrame(pdf[:5])
     assert t.append_batch_exactly_once(some, batch_id=0) is None
     assert t.read().count() == 400
+
+
+def test_delete_where_null_predicate_keeps_rows(spark, tmp_path):
+    """SQL/Iceberg DELETE removes only rows where the condition is
+    TRUE — a NULL-evaluating row must survive, including in files that
+    also contain TRUE-matching rows (the rewritten ones)."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    # one file so the NULL row definitely sits in a rewritten file
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 99)], "id long, val long").coalesce(1)
+    t.create(df)
+    t.delete_where(F.col("val") > 50)
+    got = sorted(r["id"] for r in t.read().collect())
+    assert got == [1, 2]  # id=2 (val NULL) survives, id=3 deleted

@@ -1,0 +1,74 @@
+"""Transaction surface (crates/core/src/api/client.rs:103-122 parity):
+add_item/add_items/add_collection over SnapshotTable storage —
+roundtrip, time travel, upsert, delete, extent refresh."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rustac_spark.stac.search import Search
+from rustac_spark.stac.transactions import TransactionClient
+
+
+@pytest.fixture()
+def txn(spark, stac_items, tmp_path):
+    t = TransactionClient(spark, str(tmp_path / "tbl"))
+    t.add_items(stac_items)
+    return t
+
+
+def test_add_item_roundtrip_and_time_travel(txn):
+    txn.add_item({
+        "type": "Feature", "id": "item-9999",
+        "collection": "collection-new",
+        "geometry": {"type": "Point", "coordinates": [1.0, 2.0]},
+        "properties": {"datetime": "2025-01-01T00:00:00Z",
+                       "eo:cloud_cover": 12.5}})
+    got = txn.search(Search(ids=["item-9999"])).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["collection"] == "collection-new"
+    assert r["eo:cloud_cover"] == 12.5
+    # bbox derived from the point geometry
+    assert (r["bbox"]["xmin"], r["bbox"]["ymax"]) == (1.0, 2.0)
+    assert str(r["datetime"]) == "2025-01-01 00:00:00"
+    # time travel: snapshot 1 predates the add
+    assert txn.read(snapshot_id=1).where("id = 'item-9999'").count() == 0
+    # collection extent derived live for the new collection
+    ext = {c["id"]: c for c in txn.collections()}["collection-new"]
+    assert ext["extent"]["spatial"]["bbox"][0] == [1.0, 2.0, 1.0, 2.0]
+
+
+def test_upsert_and_delete(txn):
+    upd = (txn.read().where("id = 'item-0000'")
+           .withColumn("eo:cloud_cover", F.lit(77.0)))
+    txn.upsert_items(upd)
+    assert txn.read().count() == 100  # replaced, not duplicated
+    assert (txn.read().where("id = 'item-0000'")
+            .collect()[0]["eo:cloud_cover"] == 77.0)
+    txn.delete_item("collection-a", "item-0000")
+    assert txn.read().count() == 99
+    ops = [h["operation"] for h in txn.table.history()]
+    assert ops[0] == "create" and "delete" in ops
+
+
+def test_add_collection_registered_and_merged(txn):
+    txn.add_collection({"id": "collection-empty",
+                        "description": "registered, no items"})
+    cols = {c["id"]: c for c in txn.collections()}
+    assert "collection-empty" in cols       # registered, itemless
+    assert "collection-a" in cols           # derived from items
+    assert cols["collection-empty"]["description"] == \
+        "registered, no items"
+
+
+def test_schema_alignment_drops_unknown_props(txn):
+    # a property the table schema doesn't know is dropped (documented
+    # single-schema contract), not an error — and NULLs type-check
+    txn.add_item({
+        "type": "Feature", "id": "item-8888", "collection": "collection-a",
+        "geometry": {"type": "Point", "coordinates": [0.0, 0.0]},
+        "properties": {"datetime": "2025-02-01T00:00:00Z",
+                       "brand:new_prop": "ignored"}})
+    row = txn.search(Search(ids=["item-8888"])).collect()[0]
+    assert "brand:new_prop" not in row.asDict()
+    assert row["eo:cloud_cover"] is None
