@@ -95,7 +95,11 @@ def main() -> None:
     from rustac_spark.stac.datetime_parse import parse_interval
 
     pages_path = ensure_pages(spark, sf)
-    queries = spark.read.parquet(f"{DATA_DIR}/queries.parquet")
+    # pin the r1-r3 comparable probe set: the committed fixture grew
+    # convex-oracle probes (query_id >= 68) for the correctness gate,
+    # but the bench trend line stays on the original 68 probes
+    queries = (spark.read.parquet(f"{DATA_DIR}/queries.parquet")
+               .where(F.col("query_id") < 68))
     n_pages = spark.read.parquet(pages_path).count()
 
     bench_root = os.environ.get("RUSTAC_BENCH_DIR", "/dev/shm/rustac_bench")

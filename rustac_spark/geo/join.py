@@ -82,16 +82,33 @@ def _reference_point_dedup(res: int, hot: set[int] | None = None,
     return F.col("cell") == ref
 
 
-def _mixed_refine(joined: DataFrame) -> DataFrame:
+def _mixed_refine(joined: DataFrame,
+                  pieces_by_qid: dict[int, list] | None = None,
+                  inner_by_qid: dict[int, tuple] | None = None,
+                  ) -> DataFrame:
     """Exact residual over the mixed candidate stream: non-polygon
     kinds pass through (rect overlap already exact), polygon kinds get
     the rect × polygon kernel. One pass — the pages subplan is never
     duplicated. Arrow-batched; rings parsed once per distinct query
-    per batch."""
+    per batch.
+
+    Two modes:
+    - ``pieces_by_qid`` given (broadcast/small query side): geometries
+      were captured driver-side, so the candidate stream does NOT
+      carry a per-row WKB column — the dominant Arrow payload of the
+      refine stage at bench scale. ``inner_by_qid`` optionally maps a
+      query to an axis-aligned rect strictly inside its polygon:
+      candidates wholly inside it are accepted WITHOUT the kernel
+      (most interior candidates take this O(4-compare) path).
+    - otherwise the legacy carry mode: the stream carries `geometry`
+      per row (the shuffle-join fallback, where the query side is too
+      big to collect driver-side).
+    """
     schema = joined.schema
 
     def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pieces: dict[int, list] = {}
+        pieces: dict[int, list] = dict(pieces_by_qid or {})
+        carry = pieces_by_qid is None
         for pdf in batches:
             if len(pdf) == 0:
                 yield pdf
@@ -101,14 +118,27 @@ def _mixed_refine(joined: DataFrame) -> DataFrame:
                 m = ((pdf["query_id"] == qid)
                      & (pdf["kind"] == "polygon")).to_numpy()
                 if qid not in pieces:
+                    if not carry:
+                        continue  # unknown qid: cannot match
                     pieces[qid] = geometry_pieces(parse_wkb(
                         bytes(pdf.loc[m, "geometry"].iloc[0])))
-                keep[m] = rects_intersect_pieces(
-                    pdf.loc[m, "xmin"].to_numpy(),
-                    pdf.loc[m, "ymin"].to_numpy(),
-                    pdf.loc[m, "xmax"].to_numpy(),
-                    pdf.loc[m, "ymax"].to_numpy(),
-                    pieces[qid])
+                x0 = pdf.loc[m, "xmin"].to_numpy()
+                y0 = pdf.loc[m, "ymin"].to_numpy()
+                x1 = pdf.loc[m, "xmax"].to_numpy()
+                y1 = pdf.loc[m, "ymax"].to_numpy()
+                res = np.zeros(len(x0), dtype=bool)
+                need = np.ones(len(x0), dtype=bool)
+                ir = (inner_by_qid or {}).get(qid)
+                if ir is not None:
+                    inside = ((x0 >= ir[0]) & (y0 >= ir[1])
+                              & (x1 <= ir[2]) & (y1 <= ir[3]))
+                    res[inside] = True
+                    need = ~inside
+                if need.any():
+                    res[need] = rects_intersect_pieces(
+                        x0[need], y0[need], x1[need], y1[need],
+                        pieces[qid])
+                keep[m] = res
             yield pdf[keep]
 
     return joined.mapInPandas(refine, schema=schema)
@@ -143,8 +173,29 @@ def spatial_join(pages: DataFrame, queries: DataFrame,
         has_polygons = bool(
             queries.where(F.col("kind") == "polygon").limit(1).count())
 
-    qcols = QUERY_COLS if has_polygons else [c for c in QUERY_COLS
-                                             if c != "geometry"]
+    # geometry handling for the polygon refine: with a broadcast
+    # (small-by-contract) query side, polygon WKBs are captured
+    # driver-side ONCE — the candidate stream then carries no per-row
+    # geometry bytes (the dominant Arrow payload of the refine), and
+    # each polygon gets an inscribed-rect accept shortcut so interior
+    # candidates skip the winding kernel entirely. The shuffle-join
+    # fallback keeps the legacy carry-the-WKB-column mode.
+    pieces_by_qid: dict[int, list] | None = None
+    inner_by_qid: dict[int, tuple] | None = None
+    if has_polygons and broadcast_queries:
+        from .predicates import inscribed_rect
+        pieces_by_qid, inner_by_qid = {}, {}
+        for r in (queries.where(F.col("kind") == "polygon")
+                  .select("query_id", "geometry").collect()):
+            pcs = geometry_pieces(parse_wkb(bytes(r["geometry"])))
+            pieces_by_qid[r["query_id"]] = pcs
+            ir = inscribed_rect(pcs)
+            if ir is not None:
+                inner_by_qid[r["query_id"]] = ir
+
+    carry_geometry = has_polygons and pieces_by_qid is None
+    qcols = QUERY_COLS if carry_geometry else [c for c in QUERY_COLS
+                                               if c != "geometry"]
     p = explode_page_cells(pages.select(*dict.fromkeys(
         page_cols + ["xmin", "ymin", "xmax", "ymax"])), res, grid)
     q = explode_query_cells(queries.select(*qcols), res, grid)
@@ -180,7 +231,7 @@ def spatial_join(pages: DataFrame, queries: DataFrame,
               .where(_rect_overlap())
               .where(_reference_point_dedup(res, hot, grid)))
     if has_polygons:
-        joined = _mixed_refine(joined)
+        joined = _mixed_refine(joined, pieces_by_qid, inner_by_qid)
     out_cols = ["query_id", "kind"] + page_cols
     return joined.select(*out_cols)
 

@@ -203,3 +203,33 @@ def is_axis_aligned_rect_ring(ring: np.ndarray) -> bool:
     xs = np.unique(ring[:, 0])
     ys = np.unique(ring[:, 1])
     return len(xs) == 2 and len(ys) == 2
+
+
+def inscribed_rect(pieces) -> tuple | None:
+    """A (not necessarily maximal) axis-aligned rect STRICTLY inside a
+    single-polygon geometry, or None when no such rect is found /
+    the geometry is not one hole-free polygon.
+
+    Used by the spatial join's refine stage as an ACCEPT shortcut: a
+    candidate footprint wholly inside this rect intersects the
+    polygon by containment, so it never has to pay the winding-number
+    kernel. Probing is a centroid-anchored shrink series — a few
+    vectorized ring tests driver-side, once per query."""
+    polys = [d for k, d in pieces if k == "poly"]
+    if len(pieces) != 1 or len(polys) != 1 or len(polys[0]) != 1:
+        return None
+    ring = np.asarray(polys[0][0], dtype=np.float64)
+    if len(ring) > 1 and np.array_equal(ring[0], ring[-1]):
+        ring = ring[:-1]
+    cx, cy = float(ring[:, 0].mean()), float(ring[:, 1].mean())
+    w0 = (float(ring[:, 0].max()) - float(ring[:, 0].min())) / 2.0
+    h0 = (float(ring[:, 1].max()) - float(ring[:, 1].min())) / 2.0
+    closed = np.vstack([ring, ring[:1]])
+    for f in (0.85, 0.65, 0.5, 0.35, 0.25, 0.15, 0.08):
+        w, h = w0 * f, h0 * f
+        ok = _rect_strictly_inside_ring(
+            np.array([cx - w]), np.array([cy - h]),
+            np.array([cx + w]), np.array([cy + h]), closed)
+        if ok[0]:
+            return (cx - w, cy - h, cx + w, cy + h)
+    return None

@@ -224,7 +224,61 @@ def queries_pandas(n_queries: int = 60) -> pd.DataFrame:
             "geometry": polygon_wkb(ring),
             "datetime": None, "t_start": None, "t_end": None,
         })
+    # irregular CONVEX polygons (query_id 68-73): vertices sampled on
+    # a rotated ellipse at strictly-increasing angles, so convexity
+    # holds by construction (any polygon inscribed in a convex curve
+    # with ordered vertices is convex). Convexity gives the kernel
+    # path an EXACT SQL oracle: rect × convex-polygon intersection is
+    # the separating-axis conjunction of linear inequalities over the
+    # rect bounds with per-probe literal normals (see
+    # convex_query_polys / the spatial_join_convex oracle).
+    for j, (cx, cy, a, b, phi) in enumerate(convex_query_params()):
+        q = n_queries + 8 + j
+        ring = convex_ring(cx, cy, a, b, phi, j)
+        xs = [p[0] for p in ring]
+        ys = [p[1] for p in ring]
+        rows.append({
+            "query_id": q, "kind": "polygon",
+            "qxmin": min(xs), "qymin": min(ys),
+            "qxmax": max(xs), "qymax": max(ys),
+            "geometry": polygon_wkb(ring),
+            "datetime": None, "t_start": None, "t_end": None,
+        })
     return pd.DataFrame(rows)
+
+
+def convex_query_params() -> list[tuple[float, float, float, float, float]]:
+    """Deterministic (cx, cy, a, b, phi) per convex probe — anchored
+    at top-domain hotspots like the other probe families."""
+    out = []
+    for j in range(6):
+        domain = f"d{(j * 3 + 1) % 20:03d}.example.com"
+        lat = (stable_hash(domain) % 170_000) / 1000.0 - 85.0
+        lon = (stable_hash(domain + "x") % 360_000) / 1000.0 - 180.0
+        lat = min(max(lat, -84.0), 84.0)
+        lon = min(max(lon, -179.0), 179.0)
+        a = 0.15 + (stable_hash(f"cv{j}a") % 100) / 100.0 * 0.35
+        b = 0.10 + (stable_hash(f"cv{j}b") % 100) / 100.0 * 0.30
+        phi = (stable_hash(f"cv{j}p") % 360) * math.pi / 180.0
+        out.append((lon, lat, a, b, phi))
+    return out
+
+
+def convex_ring(cx: float, cy: float, a: float, b: float, phi: float,
+                j: int, nv: int = 6) -> list[tuple[float, float]]:
+    """Closed CCW ring of `nv` vertices on the ellipse
+    (a·cos t, b·sin t) rotated by phi — jittered angles, strictly
+    increasing, so the ring is convex and irregular."""
+    ring = []
+    for v in range(nv):
+        t = 2 * math.pi * v / nv \
+            + (stable_hash(f"cv{j}t{v}") % 100) / 100.0 \
+            * (2 * math.pi / nv) * 0.6
+        ex, ey = a * math.cos(t), b * math.sin(t)
+        ring.append((cx + ex * math.cos(phi) - ey * math.sin(phi),
+                     cy + ex * math.sin(phi) + ey * math.cos(phi)))
+    ring.append(ring[0])
+    return ring
 
 
 # ------------------------------------------------------------- stac items §2
