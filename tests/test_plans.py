@@ -203,3 +203,48 @@ def test_dedup_retain_no_forced_broadcast(spark):
         assert "LeftAnti" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_knn_polar_fallback_scan_pushes_lat_band(spark, tmp_path):
+    """Polar queries trip knn_cells' cos(lat)-scaled exactness check
+    and re-run over a bounded lat/lon band. The bands are DRIVER
+    literals OR-combined into one predicate, so the fallback's pages
+    scan must show them as PushedFilters (row-group pruning on lat
+    stats at 100 TB) — and the whole fallback is ONE extra pages pass,
+    not one per flagged query."""
+    import numpy as np
+    import pandas as pd
+
+    from rustac_spark.geo.knn import knn_cells
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame({
+        "url": [f"u{i}" for i in range(4000)],
+        "lat": rng.uniform(-85, 85, 4000),
+        "lon": rng.uniform(-180, 180, 4000),
+    })
+    path = str(tmp_path / "pages.parquet")
+    spark.createDataFrame(pdf).write.parquet(path)
+    pages = spark.read.parquet(path)
+    # two polar probes: both must flag, and their bands must merge
+    # into a single scan predicate
+    q = spark.createDataFrame(
+        [(1, 84.2, 10.0), (2, -83.9, -100.0)],
+        "query_id long, qlat double, qlon double").select(
+        "query_id", F.col("qlon").alias("qxmin"),
+        F.col("qlat").alias("qymin"))
+    out = knn_cells(pages, q, k=5)
+    plan = _physical(out)
+    # the fallback branch exists and its parquet scan pushes the band
+    fallback = plan.split("Union")[-1]
+    assert "PushedFilters" in fallback
+    pushed = fallback.split("PushedFilters")[1][:400]
+    assert "lat" in pushed
+    # exactly TWO pages scans total: candidate join + one fallback
+    assert plan.count("Scan parquet") - plan.count("queries") <= 3
+    # correctness: results equal the exact bruteforce
+    from rustac_spark.geo.knn import knn_bruteforce
+    exact = {(r["query_id"], r["rank"], r["url"])
+             for r in knn_bruteforce(pages, q, k=5).collect()}
+    got = {(r["query_id"], r["rank"], r["url"]) for r in out.collect()}
+    assert got == exact
