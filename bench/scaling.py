@@ -35,10 +35,24 @@ def main() -> None:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_low = int(os.environ.get("RUSTAC_SCALE_N", "2"))
     n_high = 4 * n_low
+    # resumable runs: each completed bench invocation is appended to
+    # scaling_runs.jsonl, so a wall-clock-limited session can collect
+    # the four legs across several scaling.py invocations (set
+    # RUSTAC_SCALE_RESUME=1; delete the file to start fresh)
+    runs_path = f"{REPO}/BENCH/scaling_runs.jsonl"
+    prior: list[dict] = []
+    if os.environ.get("RUSTAC_SCALE_RESUME") and os.path.exists(runs_path):
+        with open(runs_path) as f:
+            prior = [json.loads(line) for line in f if line.strip()]
     runs = {n_low: [], n_high: []}
     for cpus in (n_low, n_high):
-        for i in range(2):
+        have = [r for r in prior if r.get("cpus") == cpus]
+        runs[cpus] = have[:2]
+        for i in range(len(runs[cpus]), 2):
             r = run_bench(sf_dir, cpus)
+            if os.environ.get("RUSTAC_SCALE_RESUME"):
+                with open(runs_path, "a") as f:
+                    f.write(json.dumps(r) + "\n")
             runs[cpus].append(r)
             print(f"# local[{cpus}] run {i}: {r['value']}s "
                   f"({r['pages_per_sec']} pages/s)", file=sys.stderr)

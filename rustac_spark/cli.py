@@ -117,6 +117,31 @@ def cmd_collections(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """`rustac serve ITEMS.parquet` parity (crates/cli/src/lib.rs
+    serve subcommand → crates/server): block serving the STAC API
+    over the item table; --writable backs it with a TransactionClient
+    on a snapshot table so POST /collections + POST items work."""
+    from .stac.server import serve
+    spark = _spark(args)
+    if args.writable:
+        from .stac.transactions import TransactionClient
+        txn = TransactionClient(spark, args.table_dir)
+        if txn.table.current_snapshot_id() is None:
+            txn.add_items(_read_items(spark, args.path))
+        srv, base = serve(txn=txn, host=args.host, port=args.port,
+                          background=args.background)
+    else:
+        srv, base = serve(items=_read_items(spark, args.path),
+                          host=args.host, port=args.port,
+                          background=args.background)
+    print(f"serving STAC API at {base}", file=sys.stderr)
+    if args.background:
+        # test/driver mode: caller owns the lifetime
+        return 0
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="rustac-spark")
     p.add_argument("--master", default=None,
@@ -156,6 +181,19 @@ def main(argv=None) -> int:
     c = sub.add_parser("collections", help="derive collection extents")
     c.add_argument("path")
     c.set_defaults(fn=cmd_collections)
+
+    sv = sub.add_parser("serve", help="serve the STAC API over a table")
+    sv.add_argument("path")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=7822)
+    sv.add_argument("--writable", action="store_true",
+                    help="enable transaction routes (snapshot-table "
+                         "backed)")
+    sv.add_argument("--table-dir", default="/tmp/rustac_spark_table",
+                    help="snapshot table dir for --writable")
+    sv.add_argument("--background", action="store_true",
+                    help=argparse.SUPPRESS)  # test hook
+    sv.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
     from .stac.cql2 import Cql2Error

@@ -147,3 +147,39 @@ def chunk_tokens(df: DataFrame, chunk_size: int, overlap: int = 0,
         "n_chunk_tokens",
         F.when(F.length("chunk_text") == 0, 0)
          .otherwise(F.size(F.split("chunk_text", r"\s+")))))
+
+
+# ------------------------------------------------------------ PII scrub
+
+# Patterns chosen for cross-engine (Java regex / RE2) parity: no
+# lookaround, no backreferences, leftmost-greedy in both. IPv4 is
+# syntactic (no 0-255 range check — range-checking in regex needs
+# alternations both engines handle, but the curation convention is to
+# over-redact); phone is international-format-only to avoid swallowing
+# arbitrary digit runs.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE = r"\+[0-9]{7,15}\b"
+
+
+def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction for training corpora: replace emails / IPv4s /
+    international phone numbers with typed placeholders and count each
+    class. Pure Column regexps — a narrow zero-shuffle map that
+    streams at 100 TB; the replacement order (email → ip → phone) is
+    fixed so counts are taken on the ORIGINAL text and redaction is
+    deterministic."""
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"),
+            PII_IPV4, "<IP>"),
+        PII_PHONE, "<PHONE>")
+    return (df
+            .withColumn("n_emails",
+                        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), 0)))
+            .withColumn("n_ips",
+                        F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), 0)))
+            .withColumn("n_phones",
+                        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), 0)))
+            .withColumn("scrubbed_text", scrubbed))

@@ -48,3 +48,28 @@ def test_cli_search_and_translate(tmp_path):
                   "--full")
     assert out.returncode == 0, out.stderr[-500:]
     assert "0 invalid" in out.stderr
+
+
+def test_cli_serve_background(spark, tmp_path):
+    """`serve` subcommand parity with `rustac serve`: starts the HTTP
+    API over a table (background test hook) and answers a search."""
+    import json as _json
+    import urllib.request
+
+    from rustac_spark import DATA_DIR
+    from rustac_spark.cli import main
+
+    # use a free port; --background returns after binding
+    import socket
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    assert main(["serve", f"{DATA_DIR}/stac_items.parquet",
+                 "--port", str(port), "--background"]) == 0
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/search?ids=item-0042",
+            timeout=10) as r:
+        fc = _json.loads(r.read().decode())
+    assert fc["numberMatched"] == 1
+    assert fc["features"][0]["id"] == "item-0042"

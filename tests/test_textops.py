@@ -521,3 +521,26 @@ def test_ivf_prebuilt_index_equivalence(spark):
                knn_ivf(vec, q, k=3, n_probe=3,
                        centroids=cents).collect()}
     assert with_idx == without and len(with_idx) == 15
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from rustac_spark.textops.basic import with_pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@ex-1.org and admin@sub.ex.co twice"),
+         (2, "server at 192.168.0.1 port 80, call +4915512345678"),
+         (3, "clean text, no pii at all"),
+         (4, "not-an-ip 1.2.3 and not-a-phone +12 stay put")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in with_pii_scrub(df).collect()}
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) \
+        == (2, 0, 0)
+    assert out[1]["scrubbed_text"] == "mail <EMAIL> and <EMAIL> twice"
+    assert (out[2]["n_emails"], out[2]["n_ips"], out[2]["n_phones"]) \
+        == (0, 1, 1)
+    assert out[2]["scrubbed_text"] == \
+        "server at <IP> port 80, call <PHONE>"
+    assert out[3]["scrubbed_text"] == out[3]["text"]
+    # under-threshold lookalikes are untouched (no over-redaction of
+    # short digit runs / non-dotted-quad numbers)
+    assert out[4]["scrubbed_text"] == out[4]["text"]
