@@ -66,3 +66,58 @@ def jaccard_pairs(df: DataFrame, threshold: float = 0.8,
                 F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 6))
             .where(F.col("jaccard") >= threshold)
             .select("a", "b", "jaccard"))
+
+
+def dup_ngram_spans(docs: DataFrame, n: int = 10, min_count: int = 2,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    hashed: bool = True) -> DataFrame:
+    """Exact duplicated-substring detection (the "dedup training data
+    at the span level" operator, after Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): find every maximal
+    token span whose length-`n` token n-grams each occur ≥ min_count
+    times in the corpus, reported per doc as
+    (doc_id, span_start, span_end, n_dup_grams) in token offsets
+    (span_end inclusive, = last covered token index).
+
+    Physical shape (one logical pipeline, three narrow/shuffle steps):
+      1. posting list — posexplode token n-grams (narrow);
+      2. corpus-frequent grams — ONE map-side-combined groupBy on the
+         gram key; `hashed=True` keys on xxhash64 of the gram text so
+         the shuffle moves 8-byte keys, not strings (the 100 TB
+         default; collisions only ever MERGE frequency counts, so a
+         span can only be over-reported, never lost — pass
+         hashed=False for the bit-exact string-keyed variant the
+         DuckDB gate oracle uses);
+      3. join postings to frequent grams (AQE decides broadcast when
+         the frequent set is small) and merge adjacent positions into
+         maximal spans with one per-doc window pass.
+    """
+    from pyspark.sql import Window
+
+    tk = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = (docs
+            .select(F.col(id_col), tk.alias("tk"))
+            .where(F.size("tk") >= n))
+    gram = F.concat_ws(" ", F.slice(F.col("tk"), F.col("pos") + 1, n))
+    key = F.xxhash64(gram) if hashed else gram
+    postings = (base
+                .select(id_col, F.expr(
+                    "posexplode(sequence(0, size(tk) - {n}))"
+                    .format(n=n)).alias("_i", "pos"), "tk")
+                .select(id_col, "pos", key.alias("g")))
+    frequent = (postings.groupBy("g")
+                .agg(F.count("*").alias("cnt"))
+                .where(F.col("cnt") >= min_count)
+                .select("g"))
+    dup = postings.join(frequent, "g").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = (dup
+            .withColumn("_new", F.when(
+                F.col("pos") - F.lag("pos").over(w) == 1, 0).otherwise(1))
+            .withColumn("_run", F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (runs.groupBy(id_col, "_run")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + F.lit(n - 1)).alias("span_end"),
+                 F.count("*").alias("n_dup_grams"))
+            .drop("_run"))

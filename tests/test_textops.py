@@ -544,3 +544,50 @@ def test_pii_scrub_redacts_and_counts(spark):
     # under-threshold lookalikes are untouched (no over-redaction of
     # short digit runs / non-dotted-quad numbers)
     assert out[4]["scrubbed_text"] == out[4]["text"]
+
+
+def test_dup_ngram_spans_exact_and_hashed(spark):
+    """Span detector: maximal duplicated-token-run reporting matches a
+    hand-computed oracle; the hashed (8-byte shuffle key) variant
+    agrees with the exact string-keyed one."""
+    from rustac_spark.textops.ngram import dup_ngram_spans
+
+    shared = "the quick brown fox jumps over the lazy dog again"  # 10 toks
+    docs = spark.createDataFrame(
+        [(1, f"A B C {shared} X Y Z"),
+         (2, f"P Q {shared} R S T"),
+         (3, "totally unique text with no repeated runs at all here")],
+        "doc_id long, text string")
+    out = {(r["doc_id"]): (r["span_start"], r["span_end"],
+                           r["n_dup_grams"])
+           for r in dup_ngram_spans(docs, n=10, min_count=2,
+                                    hashed=False).collect()}
+    # doc1: shared block = tokens 3..12 → single 10-gram at pos 3
+    assert out[1] == (3, 12, 1)
+    # doc2: shared block = tokens 2..11 → single 10-gram at pos 2
+    assert out[2] == (2, 11, 1)
+    assert 3 not in out
+    hashed = {(r["doc_id"]): (r["span_start"], r["span_end"],
+                              r["n_dup_grams"])
+              for r in dup_ngram_spans(docs, n=10, min_count=2,
+                                       hashed=True).collect()}
+    assert hashed == out
+
+
+def test_dup_ngram_spans_merges_adjacent_runs(spark):
+    from rustac_spark.textops.ngram import dup_ngram_spans
+
+    # 6 shared tokens with n=3 → grams at pos 0..3 in doc1 (4 grams,
+    # one maximal span 0..5) — adjacency merging, not per-gram rows
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f tail1 only1"),
+         (2, "pre a b c d e f tail2")],
+        "doc_id long, text string")
+    rows = dup_ngram_spans(docs, n=3, min_count=2,
+                           hashed=False).collect()
+    by_doc = {r["doc_id"]: r for r in rows}
+    assert len(rows) == 2
+    assert (by_doc[1]["span_start"], by_doc[1]["span_end"],
+            by_doc[1]["n_dup_grams"]) == (0, 5, 4)
+    assert (by_doc[2]["span_start"], by_doc[2]["span_end"],
+            by_doc[2]["n_dup_grams"]) == (1, 6, 4)
