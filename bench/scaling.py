@@ -40,16 +40,31 @@ def main() -> None:
     # the four legs across several scaling.py invocations (set
     # RUSTAC_SCALE_RESUME=1; delete the file to start fresh)
     runs_path = f"{REPO}/BENCH/scaling_runs.jsonl"
+    rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                         cwd=REPO, capture_output=True,
+                         text=True).stdout.strip()
     prior: list[dict] = []
     if os.environ.get("RUSTAC_SCALE_RESUME") and os.path.exists(runs_path):
         with open(runs_path) as f:
             prior = [json.loads(line) for line in f if line.strip()]
     runs = {n_low: [], n_high: []}
     for cpus in (n_low, n_high):
-        have = [r for r in prior if r.get("cpus") == cpus]
+        # a resumed leg is only comparable if it measured the SAME
+        # input and the SAME source revision — mixing legs across
+        # edits is exactly the bench-taint failure mode the commit-
+        # before-benching protocol exists for
+        have = [r for r in prior
+                if r.get("cpus") == cpus and r.get("rev") == rev
+                and r.get("sf_dir") == sf_dir]
+        stale = [r for r in prior if r.get("cpus") == cpus
+                 and r not in have]
+        if stale:
+            print(f"# ignoring {len(stale)} stale local[{cpus}] runs "
+                  f"(different rev/input)", file=sys.stderr)
         runs[cpus] = have[:2]
         for i in range(len(runs[cpus]), 2):
             r = run_bench(sf_dir, cpus)
+            r["rev"], r["sf_dir"] = rev, sf_dir
             if os.environ.get("RUSTAC_SCALE_RESUME"):
                 with open(runs_path, "a") as f:
                     f.write(json.dumps(r) + "\n")

@@ -165,7 +165,12 @@ def spatial_join(pages: DataFrame, queries: DataFrame,
     the query side (a `.limit(1).count()` on the queries table). The
     probe is cheap — queries are small by contract — but it is an
     eager action, so iterative callers that rebuild the join per step
-    should supply the flag to keep the whole pipeline lazy.
+    should supply the flag. Note that with has_polygons=True and a
+    broadcast query side the builder still runs ONE bounded eager
+    collect (the polygon WKBs, captured driver-side so the candidate
+    stream carries no per-row geometry); fully-lazy iterative callers
+    should pass has_polygons=False when their probes are rect/point
+    only, which keeps plan building action-free.
     """
     page_cols = page_cols or [c for c in pages.columns
                               if c not in ("html", "text")]

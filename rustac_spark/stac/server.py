@@ -140,10 +140,19 @@ class StacApp:
                               "href": f"{self.root}/search?{q}",
                               "method": "GET"})
         if page.prev_token is not None:
-            links.append({"rel": "prev", "href": f"{self.root}/search",
-                          "method": method,
-                          "body": {"skip": page.prev_token["skip"]},
-                          "merge": True})
+            prv = page.prev_token["skip"]
+            if method == "POST":
+                links.append({"rel": "prev",
+                              "href": f"{self.root}/search",
+                              "method": "POST",
+                              "body": {"skip": prv}, "merge": True})
+            else:
+                # GET clients carry no body — the token must ride the
+                # query string, like the GET next link
+                q = urllib.parse.urlencode({**params, "skip": prv})
+                links.append({"rel": "prev",
+                              "href": f"{self.root}/search?{q}",
+                              "method": "GET"})
         return {
             "type": "FeatureCollection",
             "features": features,
@@ -284,7 +293,9 @@ class _Handler(BaseHTTPRequestHandler):
                     return self._send(app.search(params, "POST"),
                                       ctype=_GEOJSON)
                 if parts == ["collections"]:
-                    return self._send(app.post_collection(params or {}),
+                    # the collection document is the request BODY —
+                    # query params must not leak into stored metadata
+                    return self._send(app.post_collection(body or {}),
                                       status=201)
                 if (len(parts) == 3 and parts[0] == "collections"
                         and parts[2] == "items"):
@@ -292,8 +303,11 @@ class _Handler(BaseHTTPRequestHandler):
                         app.post_item(parts[1], body or {}), status=201)
             self._error(404, f"no route {method} {parsed.path}")
         except (SearchValidationError, QueryNotImplemented,
-                ValueError) as e:
-            self._error(400, str(e))
+                ValueError, KeyError, TypeError) as e:
+            # KeyError/TypeError cover malformed request documents
+            # (e.g. POST /collections without "id") — a bad request
+            # must answer 400, never abort the connection
+            self._error(400, f"{type(e).__name__}: {e}")
         except PermissionError as e:
             self._error(405, str(e))
 
@@ -302,7 +316,13 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self):
         n = int(self.headers.get("Content-Length") or 0)
-        body = json.loads(self.rfile.read(n).decode("utf-8")) if n else {}
+        try:
+            body = (json.loads(self.rfile.read(n).decode("utf-8"))
+                    if n else {})
+        except (json.JSONDecodeError, UnicodeDecodeError) as e:
+            return self._error(400, f"invalid JSON body: {e}")
+        if not isinstance(body, dict):
+            return self._error(400, "JSON body must be an object")
         self._route("POST", body)
 
 

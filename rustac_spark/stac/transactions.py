@@ -110,15 +110,17 @@ class TransactionClient:
     def upsert_items(self, items: DataFrame) -> int:
         """MERGE by (collection, id): existing versions of the
         incoming items are deleted (file-granular COW), then the batch
-        appends — PUT semantics. Two snapshots: delete + append."""
+        appends — PUT semantics. Two snapshots: delete + append.
+        The delete predicate is ONE isin over composite keys (Catalyst
+        InSet — flat hash lookup), not a chained OR: a 10k-item batch
+        stays an O(1)-depth plan."""
         aligned = _align(items, self.read())
-        keys = [(r["collection"], r["id"])
+        sep = "\x1f"  # cannot appear in STAC ids/collection ids
+        keys = [f"{r['collection']}{sep}{r['id']}"
                 for r in aligned.select("collection", "id").collect()]
-        cond = F.lit(False)
-        for cid, iid in keys:
-            cond = cond | ((F.col("collection") == cid)
-                           & (F.col("id") == iid))
-        self.table.delete_where(cond)
+        self.table.delete_where(
+            F.concat_ws(sep, F.col("collection"), F.col("id"))
+            .isin(keys))
         return self.table.append(aligned)
 
     def delete_item(self, collection_id: str, item_id: str) -> int:
@@ -194,14 +196,11 @@ class TransactionClient:
                                        DoubleType, LongType, StringType,
                                        StructField, StructType,
                                        TimestampNTZType)
-        if self.table.current_snapshot_id() is not None:
-            # table exists: build against its schema (no inference —
-            # a one-row POST with NULL columns must still type-check)
-            schema = self.read().schema
-            data = [tuple(r.get(f.name) for f in schema.fields)
-                    for r in rows]
-            return self.spark.createDataFrame(data, schema)
-
+        # ALWAYS build with per-key inferred types and let _align cast
+        # to the table schema on append: building directly against the
+        # table schema would make createDataFrame's strict verifier
+        # reject e.g. a JSON integer for a double column (ints are
+        # valid JSON numbers — "eo:cloud_cover": 50 must ingest).
         def infer(v):
             if isinstance(v, bool):
                 return BooleanType()

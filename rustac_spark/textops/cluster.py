@@ -77,6 +77,13 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
         changed = (new_labels.join(
             labels.select("u", F.col("label").alias("old")), "u")
             .where(F.col("label") != F.col("old")).count())
+        # rebinding drops the only reference to the previous round's
+        # checkpointed table; its blocks are reclaimed by Spark's
+        # ContextCleaner once the Python/JVM refs collect. Worst-case
+        # live generations are bounded by max_iter (labels are
+        # non-singleton nodes only — small relative to the corpus);
+        # swap in reliable checkpoint() on a cluster for both fault
+        # tolerance and eager cleanup of old checkpoint dirs.
         labels = new_labels
         if changed == 0:
             converged = True

@@ -144,3 +144,46 @@ def test_read_only_server_rejects_writes(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(f"{server}/collections", {"id": "x"})
     assert e.value.code == 405
+
+
+def test_malformed_requests_get_400_not_dropped_connection(server):
+    """Bad requests must answer 400 — never abort the socket."""
+    req = urllib.request.Request(
+        f"{server}/search", data=b"not-json",
+        headers={"Content-Type": "application/json"}, method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=10)
+    assert e.value.code == 400
+    # JSON array body (not an object) → 400 too
+    req = urllib.request.Request(
+        f"{server}/search", data=b"[1,2]",
+        headers={"Content-Type": "application/json"}, method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=10)
+    assert e.value.code == 400
+
+
+def test_get_prev_link_is_query_param(server):
+    st, fc = _get(f"{server}/search?limit=5&skip=10&sortby=id")
+    prv = next(l for l in fc["links"] if l["rel"] == "prev")
+    assert "body" not in prv and "skip=5" in prv["href"]
+    st, back = _get(prv["href"])
+    assert back["numberReturned"] == 5
+
+
+def test_post_collection_ignores_query_params(spark, stac_items, tmp_path):
+    from rustac_spark.stac.transactions import TransactionClient
+    txn = TransactionClient(spark, str(tmp_path / "tblq"))
+    txn.add_items(stac_items)
+    srv, base = serve(txn=txn, background=True)
+    try:
+        _post(f"{base}/collections?foo=bar", {"id": "c-clean"})
+        meta = {c["id"]: c for c in txn.collections()}["c-clean"]
+        assert "foo" not in meta
+        # body missing "id" → 400, not a dropped connection
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(f"{base}/collections", {"nope": 1})
+        assert e.value.code == 400
+    finally:
+        srv.shutdown()
+        srv.server_close()

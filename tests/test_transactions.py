@@ -72,3 +72,23 @@ def test_schema_alignment_drops_unknown_props(txn):
     row = txn.search(Search(ids=["item-8888"])).collect()[0]
     assert "brand:new_prop" not in row.asDict()
     assert row["eo:cloud_cover"] is None
+
+
+def test_add_item_json_integer_for_double_column(txn):
+    """A JSON integer is a valid JSON number for a double-typed
+    property column — ingest must cast, not crash."""
+    txn.add_item({
+        "type": "Feature", "id": "item-int", "collection": "collection-a",
+        "geometry": {"type": "Point", "coordinates": [0.0, 0.0]},
+        "properties": {"datetime": "2025-02-02T00:00:00Z",
+                       "eo:cloud_cover": 50}})
+    row = txn.search(Search(ids=["item-int"])).collect()[0]
+    assert row["eo:cloud_cover"] == 50.0
+
+
+def test_upsert_large_batch_flat_plan(txn):
+    """upsert_items must stay a flat InSet predicate, not a chained
+    OR — a several-hundred-key batch must plan and run."""
+    batch = txn.read().limit(60)
+    txn.upsert_items(batch)
+    assert txn.read().count() == 100  # replaced in place
