@@ -40,8 +40,12 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from pyspark.sql import DataFrame
 
+import base64
+from datetime import datetime as _dt
+
 from .api import (DEFAULT_LIMIT, collections as derive_collections,
-                  conformance, queryables, search_page)
+                  conformance, queryables, search_page,
+                  search_page_keyset)
 from .items_io import row_to_item
 from .search import (QueryNotImplemented, Search, SearchValidationError)
 
@@ -122,6 +126,8 @@ class StacApp:
         return None
 
     def search(self, params: dict, method: str = "GET") -> dict:
+        if "cursor" in params or params.get("paging") == "keyset":
+            return self._search_keyset(params, method)
         skip = int(params.pop("skip", 0) or 0)
         search = _params_to_search(params)
         page = search_page(self.items_df(), search, skip=skip)
@@ -161,6 +167,40 @@ class StacApp:
             "links": links,
         }
 
+    def _search_keyset(self, params: dict, method: str) -> dict:
+        """Cursor (keyset) paging — the 100 TB path: each page filters
+        on the previous page's last sort-key tuple (pushes into the
+        scan) instead of OFFSET-discarding skip rows, and skips the
+        per-page full count (`numberMatched` is omitted, as the STAC
+        context extension allows). Opt in with ``paging=keyset`` or by
+        presenting a ``cursor``; tokens are opaque base64 and stay
+        valid under concurrent appends (no page drift)."""
+        params = dict(params)
+        tok = params.pop("cursor", None)
+        params.pop("paging", None)
+        search = _params_to_search(params)
+        after = {"keys": _decode_cursor(tok)} if tok else None
+        page = search_page_keyset(self.items_df(), search, after=after)
+        links = []
+        if page.next_token is not None:
+            nxt = _encode_cursor(page.next_token["keys"])
+            if method == "POST":
+                links.append({"rel": "next",
+                              "href": f"{self.root}/search",
+                              "method": "POST",
+                              "body": {"cursor": nxt}, "merge": True})
+            else:
+                q = urllib.parse.urlencode({**params, "cursor": nxt})
+                links.append({"rel": "next",
+                              "href": f"{self.root}/search?{q}",
+                              "method": "GET"})
+        return {
+            "type": "FeatureCollection",
+            "features": [row_to_item(r) for r in page.rows],
+            "numberReturned": page.number_returned,
+            "links": links,
+        }
+
     def collection_items(self, cid: str, params: dict) -> dict:
         params = dict(params)
         params["collections"] = cid
@@ -191,6 +231,27 @@ class StacApp:
         body.setdefault("collection", cid)
         self.txn.add_item(body)
         return {"added": 1}
+
+
+def _encode_cursor(keys: list) -> str:
+    """Opaque keyset token: type-tagged JSON → urlsafe base64.
+    Timestamps must round-trip as timestamps — a string-typed value
+    compared against a timestamp sort column would corrupt the keyset
+    predicate."""
+    def enc(v):
+        if isinstance(v, _dt):
+            return {"t": "ts", "v": v.isoformat()}
+        return {"t": "raw", "v": v}
+    return base64.urlsafe_b64encode(
+        json.dumps([enc(v) for v in keys]).encode()).decode()
+
+
+def _decode_cursor(tok: str) -> list:
+    out = []
+    for e in json.loads(base64.urlsafe_b64decode(tok.encode())):
+        out.append(_dt.fromisoformat(e["v"]) if e["t"] == "ts"
+                   else e["v"])
+    return out
 
 
 def _params_to_search(params: dict) -> Search:

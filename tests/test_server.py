@@ -187,3 +187,37 @@ def test_post_collection_ignores_query_params(spark, stac_items, tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_keyset_cursor_paging_walks_full_set(server):
+    """paging=keyset: cursor pages cover the full result set exactly
+    once, in order, with a timestamp sort key surviving the token
+    round-trip — and no numberMatched count is paid per page."""
+    seen = []
+    url = f"{server}/search?paging=keyset&limit=9&sortby=-datetime"
+    for _ in range(20):
+        st, fc = _get(url)
+        assert "numberMatched" not in fc
+        seen += [f["id"] for f in fc["features"]]
+        nxt = next((l for l in fc["links"] if l["rel"] == "next"), None)
+        if nxt is None:
+            break
+        url = nxt["href"]
+    assert len(seen) == 100 and len(set(seen)) == 100
+    # equals the skip-paged ordering (same sort, full walk)
+    st, full = _get(f"{server}/search?limit=100&sortby=-datetime")
+    assert seen == [f["id"] for f in full["features"]]
+
+
+def test_keyset_cursor_paging_post(server):
+    from rustac_spark.stac.api_client import fetch_search_features
+    feats = list(fetch_search_features(
+        server, {"paging": "keyset", "limit": 13, "sortby": "id"}))
+    ids = [f["id"] for f in feats]
+    assert len(ids) == 100 and ids == sorted(ids)
+
+
+def test_keyset_bad_cursor_400(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{server}/search?cursor=%21%21notbase64")
+    assert e.value.code == 400

@@ -591,3 +591,43 @@ def test_dup_ngram_spans_merges_adjacent_runs(spark):
             by_doc[1]["n_dup_grams"]) == (0, 5, 4)
     assert (by_doc[2]["span_start"], by_doc[2]["span_end"],
             by_doc[2]["n_dup_grams"]) == (1, 6, 4)
+
+
+def test_dup_ngram_spans_random_corpus_vs_bruteforce(spark):
+    """Randomized cross-check: tiny alphabet forces many accidental
+    duplicate n-grams; spans must equal an independent Python
+    brute-force oracle exactly (starts, ends, gram counts)."""
+    import random
+    from collections import Counter
+
+    from rustac_spark.textops.ngram import dup_ngram_spans
+
+    rng = random.Random(42)
+    n, min_count = 3, 2
+    corpus = {i: [rng.choice("abcdef") for _ in range(rng.randint(1, 30))]
+              for i in range(40)}
+
+    grams = Counter()
+    for toks in corpus.values():
+        for p in range(len(toks) - n + 1):
+            grams[" ".join(toks[p:p + n])] += 1
+    expected = set()
+    for did, toks in corpus.items():
+        dup_pos = [p for p in range(len(toks) - n + 1)
+                   if grams[" ".join(toks[p:p + n])] >= min_count]
+        runs, start = [], None
+        for i, p in enumerate(dup_pos):
+            if start is None:
+                start = p
+            if i + 1 == len(dup_pos) or dup_pos[i + 1] != p + 1:
+                expected.add((did, start, p + n - 1, p - start + 1))
+                start = None
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in corpus.items()],
+        "doc_id long, text string")
+    got = {(r["doc_id"], r["span_start"], r["span_end"],
+            r["n_dup_grams"])
+           for r in dup_ngram_spans(docs, n=n, min_count=min_count,
+                                    hashed=False).collect()}
+    assert got == expected
