@@ -184,3 +184,111 @@ def streaming_tile_counts(prepared: DataFrame, zoom: int = 6,
             .agg(F.count("*").alias("n_pages"))
             .select(F.col("w.start").alias("window_start"),
                     "tile_x", "tile_y", "n_pages"))
+
+
+NEARDUP_OUT_SCHEMA = "doc_id string, dup_of string, hamming int"
+NEARDUP_STATE_SCHEMA = "ids array<string>, sigs array<long>, last_us long"
+
+
+def near_dup_stream(pages: DataFrame, watermark: str = "2 hours",
+                    ts_col: str = "warc_ts", id_col: str = "url",
+                    text_col: str = "text", max_distance: int = 3,
+                    max_bucket: int = 1024) -> DataFrame:
+    """Streaming NEAR-dup detection — the incremental twin of
+    textops.simhash.near_dup_pairs_simhash: flag every arriving doc
+    whose simhash is within `max_distance` Hamming bits of an
+    earlier-seen doc.
+
+    Shape: the simhash rides the same Arrow mapInPandas kernel as
+    batch; each doc then lands in its four 16-bit chunk buckets
+    (Manku-style pigeonhole — exact for Hamming ≤ 3), and a custom
+    stateful operator (applyInPandasWithState) holds per-bucket
+    capped (id, sig) rosters. State is bounded two ways: `max_bucket`
+    entries per bucket, and event-time timeout eviction once the
+    watermark passes a bucket's last arrival — so it runs forever at
+    crawl scale. A doc matching in several buckets is reported once
+    per matching bucket (≤4 rows); sinks dedup on doc_id.
+
+    Output rows: (doc_id, dup_of, hamming) for detected near-dups
+    only — unique docs produce no output (flag-stream semantics).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+
+    # event-time horizon for state eviction, in µs
+    num, unit = watermark.split()
+    horizon_us = int(num) * {
+        "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+        "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+    }[unit] * 1_000_000
+
+    # batch twin's with_simhash projects id+text only; this variant
+    # carries ts through the same Arrow pass (one pass, no re-join)
+    def sig_gen(batches):
+        import numpy as np
+
+        from .textops.simhash import simhash_batch
+        for pdf in batches:
+            s = simhash_batch(pdf[text_col]).astype(np.int64)
+            yield pd.DataFrame({"doc_id": pdf[id_col],
+                                ts_col: pdf[ts_col], "simhash": s})
+
+    # watermark AFTER the Arrow pass: mapInPandas produces new output
+    # attributes, so an upstream watermark column does not survive it
+    sig = (pages
+           .select(id_col, ts_col, text_col)
+           .mapInPandas(sig_gen,
+                        schema=f"doc_id string, {ts_col} timestamp, "
+                               f"simhash long")
+           .withWatermark(ts_col, watermark))
+    chunked = sig.select(
+        "doc_id", ts_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("chunk"),
+                     F.shiftrightunsigned("simhash", 16 * i)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("val"))
+            for i in range(4)])).alias("ck"))
+
+    mask = (1 << 64) - 1
+
+    def fn(key, pdfs, state: GroupState):
+        found = []
+        if state.hasTimedOut:
+            state.remove()
+        else:
+            parts = [p for p in pdfs if len(p)]
+            if parts:
+                df = pd.concat(parts).sort_values(ts_col)
+                if state.exists:
+                    ids, sigs, last = state.get
+                    ids, sigs = list(ids), list(sigs)
+                else:
+                    ids, sigs, last = [], [], 0
+                for did, sg, ts in zip(df["doc_id"], df["simhash"],
+                                       df[ts_col]):
+                    sg = int(sg)
+                    best = None
+                    for hid, hsig in zip(ids, sigs):
+                        d = ((sg ^ int(hsig)) & mask).bit_count()
+                        if d <= max_distance and (best is None
+                                                  or d < best[1]):
+                            best = (hid, d)
+                    if best is not None:
+                        found.append((did, best[0], best[1]))
+                    if len(ids) < max_bucket:
+                        ids.append(did)
+                        sigs.append(sg)
+                    last = max(last, int(ts.value) // 1000)
+                state.update((ids, sigs, last))
+                # last is epoch-µs; GroupState timeouts are epoch-ms
+                state.setTimeoutTimestamp((last + horizon_us) // 1000)
+        yield pd.DataFrame(found,
+                           columns=["doc_id", "dup_of", "hamming"])
+
+    return (chunked
+            .groupBy("ck")
+            .applyInPandasWithState(
+                fn, NEARDUP_OUT_SCHEMA, NEARDUP_STATE_SCHEMA,
+                "append", GroupStateTimeout.EventTimeTimeout))

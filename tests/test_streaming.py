@@ -219,3 +219,51 @@ def test_streaming_tile_counts_match_batch(spark, tmp_path):
     want = {(r["ws"], r["tile_x"], r["tile_y"]): r["n_pages"]
             for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_near_dup_stream_flags_cross_batch(spark, tmp_path):
+    """Stateful streaming near-dup: a doc arriving in a LATER file
+    drop is flagged against a doc from an earlier drop (state carries
+    across micro-batches via the checkpoint); unique docs are silent;
+    the flagged pair agrees with the batch simhash distance."""
+    from datetime import datetime
+
+    from rustac_spark.streaming import (PAGES_SCHEMA, near_dup_stream,
+                                        run_to_sink)
+    from rustac_spark.textops.simhash import simhash64
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    near = base.replace("lazy", "lazzy")  # may or may not be ≤3 bits
+    dist = bin((simhash64(base) ^ simhash64(near))
+               & ((1 << 64) - 1)).count("1")
+    rows1 = [("u1", datetime(2024, 1, 1, 10, 0), b"", base, "en"),
+             ("u2", datetime(2024, 1, 1, 10, 1), b"",
+              "completely different content about something else "
+              "entirely, with no shared phrasing at all", "en")]
+    rows2 = [("u3", datetime(2024, 1, 1, 10, 30), b"", base, "en")]
+    if dist <= 3:
+        rows2.append(("u4", datetime(2024, 1, 1, 10, 31), b"",
+                      near, "en"))
+    indir, outdir, ck = (str(tmp_path / d) for d in
+                         ("in", "out", "ck"))
+    spark.createDataFrame(rows1, PAGES_SCHEMA).write.parquet(
+        f"{indir}/d1")
+
+    stream = lambda: near_dup_stream(
+        spark.readStream.schema(PAGES_SCHEMA).parquet(f"{indir}/*"),
+        watermark="2 hours")
+    q = run_to_sink(stream(), outdir, ck)
+    q.awaitTermination(120)
+    spark.createDataFrame(rows2, PAGES_SCHEMA).write.parquet(
+        f"{indir}/d2")
+    q = run_to_sink(stream(), outdir, ck)
+    q.awaitTermination(120)
+
+    got = {(r["doc_id"], r["dup_of"], r["hamming"])
+           for r in spark.read.parquet(outdir).collect()}
+    docs_flagged = {d for d, _, _ in got}
+    assert "u3" in docs_flagged            # exact dup across batches
+    assert ("u3", "u1", 0) in got
+    assert "u1" not in docs_flagged and "u2" not in docs_flagged
+    if dist <= 3:
+        assert any(d == "u4" and h == dist for d, _, h in got)
