@@ -19,3 +19,13 @@ __version__ = "0.1.0"
 
 REPO_ROOT = __file__.rsplit("/", 2)[0]
 DATA_DIR = f"{REPO_ROOT}/data"
+
+
+def __getattr__(name):
+    # the reference's free-function surface (read/write/search) —
+    # lazily imported so `import rustac_spark` stays cheap and does
+    # not require an active SparkSession
+    if name in ("read", "write", "search", "search_api"):
+        from . import toplevel
+        return getattr(toplevel, name)
+    raise AttributeError(name)

@@ -150,84 +150,83 @@ class TransactionClient:
             return json.load(f)
 
     def _items_df(self, items: list[dict]) -> DataFrame:
-        """Normalize STAC item dicts driver-side (POST bodies are
-        small by contract) into FlatItem rows: GeoJSON geometry →
-        WKB bytes, bbox struct derived from the geometry when the
-        item carries none, properties.* hoisted, datetime-family
-        strings parsed to naive-UTC timestamps (the fixture/table
-        convention). Unknown property columns survive into the row —
-        `_align` decides their fate against the table schema."""
-        from datetime import datetime
+        return items_dataframe(self.spark, items)
 
-        from ..geo.wkbio import geojson_to_wkb, wkb_bounds
-        from .datetime_parse import parse_rfc3339
+def items_dataframe(spark: SparkSession, items: list[dict]) -> DataFrame:
+    """Normalize STAC item dicts driver-side (request bodies / JSON
+    documents are small by contract) into FlatItem rows: GeoJSON
+    geometry → WKB bytes, bbox struct derived from the geometry when
+    the item carries none, properties.* hoisted, datetime-family
+    strings parsed to naive-UTC timestamps (the fixture/table
+    convention). Types are inferred per key and appenders cast to the
+    table schema via `_align` — building directly against a table
+    schema would make createDataFrame's strict verifier reject e.g. a
+    JSON integer for a double column (ints are valid JSON numbers)."""
+    from datetime import datetime
 
-        rows = []
-        for it in items:
-            row: dict = {
-                "type": "Feature",
-                "stac_version": it.get("stac_version", "1.1.0"),
-                "stac_extensions": it.get("stac_extensions", []),
-                "id": it["id"],
-                "collection": it.get("collection"),
-            }
-            geom = it.get("geometry")
-            wkb = geojson_to_wkb(geom) if geom else None
-            row["geometry"] = wkb
-            bbox = it.get("bbox")
-            if bbox is None and wkb is not None:
-                bbox = wkb_bounds(wkb)
-            if bbox is not None:
-                from pyspark.sql import Row
-                row["bbox"] = Row(xmin=float(bbox[0]),
-                                  ymin=float(bbox[1]),
-                                  xmax=float(bbox[2]),
-                                  ymax=float(bbox[3]))
-            for k, v in (it.get("properties") or {}).items():
-                if k in ("datetime", "start_datetime", "end_datetime",
-                         "created", "updated"):
-                    ts = parse_rfc3339(v) if isinstance(v, str) else None
-                    row[k] = ts.replace(tzinfo=None) if ts else None
-                else:
-                    row[k] = v
-            rows.append(row)
-        from pyspark.sql import Row
-        from pyspark.sql.types import (ArrayType, BinaryType, BooleanType,
-                                       DoubleType, LongType, StringType,
-                                       StructField, StructType,
-                                       TimestampNTZType)
-        # ALWAYS build with per-key inferred types and let _align cast
-        # to the table schema on append: building directly against the
-        # table schema would make createDataFrame's strict verifier
-        # reject e.g. a JSON integer for a double column (ints are
-        # valid JSON numbers — "eo:cloud_cover": 50 must ingest).
-        def infer(v):
-            if isinstance(v, bool):
-                return BooleanType()
-            if isinstance(v, int):
-                return LongType()
-            if isinstance(v, float):
-                return DoubleType()
-            if isinstance(v, (bytes, bytearray)):
-                return BinaryType()
-            if isinstance(v, datetime):
-                return TimestampNTZType()
-            if isinstance(v, Row):
-                return StructType([
-                    StructField(k, infer(x), True)
-                    for k, x in v.asDict().items()])
-            if isinstance(v, (list, tuple)):
-                return ArrayType(infer(v[0]) if v else StringType())
-            return StringType()
+    from pyspark.sql import Row
+    from pyspark.sql.types import (ArrayType, BinaryType, BooleanType,
+                                   DoubleType, LongType, StringType,
+                                   StructField, StructType,
+                                   TimestampNTZType)
 
-        keys: list[str] = []
-        for r in rows:
-            keys += [k for k in r if k not in keys]
-        fields = []
-        for k in keys:
-            vals = [r[k] for r in rows if r.get(k) is not None]
-            fields.append(StructField(
-                k, infer(vals[0]) if vals else StringType(), True))
-        schema = StructType(fields)
-        return self.spark.createDataFrame(
-            [tuple(r.get(k) for k in keys) for r in rows], schema)
+    from ..geo.wkbio import geojson_to_wkb, wkb_bounds
+    from .datetime_parse import parse_rfc3339
+
+    rows = []
+    for it in items:
+        row: dict = {
+            "type": "Feature",
+            "stac_version": it.get("stac_version", "1.1.0"),
+            "stac_extensions": it.get("stac_extensions", []),
+            "id": it["id"],
+            "collection": it.get("collection"),
+        }
+        geom = it.get("geometry")
+        wkb = geojson_to_wkb(geom) if geom else None
+        row["geometry"] = wkb
+        bbox = it.get("bbox")
+        if bbox is None and wkb is not None:
+            bbox = wkb_bounds(wkb)
+        if bbox is not None:
+            row["bbox"] = Row(xmin=float(bbox[0]), ymin=float(bbox[1]),
+                              xmax=float(bbox[2]), ymax=float(bbox[3]))
+        for k, v in (it.get("properties") or {}).items():
+            if k in ("datetime", "start_datetime", "end_datetime",
+                     "created", "updated"):
+                ts = parse_rfc3339(v) if isinstance(v, str) else None
+                row[k] = ts.replace(tzinfo=None) if ts else None
+            else:
+                row[k] = v
+        rows.append(row)
+
+    def infer(v):
+        if isinstance(v, bool):
+            return BooleanType()
+        if isinstance(v, int):
+            return LongType()
+        if isinstance(v, float):
+            return DoubleType()
+        if isinstance(v, (bytes, bytearray)):
+            return BinaryType()
+        if isinstance(v, datetime):
+            return TimestampNTZType()
+        if isinstance(v, Row):
+            return StructType([
+                StructField(k, infer(x), True)
+                for k, x in v.asDict().items()])
+        if isinstance(v, (list, tuple)):
+            return ArrayType(infer(v[0]) if v else StringType())
+        return StringType()
+
+    keys: list[str] = []
+    for r in rows:
+        keys += [k for k in r if k not in keys]
+    fields = []
+    for k in keys:
+        vals = [r[k] for r in rows if r.get(k) is not None]
+        fields.append(StructField(
+            k, infer(vals[0]) if vals else StringType(), True))
+    schema = StructType(fields)
+    return spark.createDataFrame(
+        [tuple(r.get(k) for k in keys) for r in rows], schema)
