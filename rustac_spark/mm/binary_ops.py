@@ -175,3 +175,73 @@ def sample_video_frames(df: DataFrame, bin_col: str = "payload",
 
     return df.select(url_col, bin_col).mapInPandas(
         gen, schema="url string, frame_idx int, frame binary")
+
+
+def phash64(data: bytes) -> int:
+    """64-bit perceptual image hash (classic pHash recipe): decode →
+    grayscale → nearest-neighbor 32×32 → 2-D DCT (the same orthonormal
+    DCT-II kernel the from-scratch JPEG codec uses, mm/jpeg.py:95) →
+    keep the 8×8 low-frequency corner → threshold against the median
+    of the 63 AC terms. Visually-similar images land within a few
+    Hamming bits; raises on undecodable payloads (caller decides the
+    dead-letter policy)."""
+    import numpy as np
+
+    from .codecs import decode_image, resize_nearest
+    from .jpeg import _C
+
+    arr = resize_nearest(decode_image(data), 32, 32).astype(np.float64)
+    gray = arr @ np.array([0.299, 0.587, 0.114])
+    # 32×32 DCT from the 8×8 basis construction generalized: build a
+    # 32-point orthonormal DCT-II the same way
+    n = 32
+    k = np.arange(n)
+    c32 = np.sqrt(2.0 / n) * np.cos((2 * k[None, :] + 1)
+                                    * k[:, None] * np.pi / (2 * n))
+    c32[0, :] = np.sqrt(1.0 / n)
+    freq = c32 @ gray @ c32.T
+    low = freq[:8, :8].flatten()
+    ac = low[1:]
+    bits = (ac > np.median(ac)).astype(np.uint64)
+    h = np.uint64(0)
+    for b in bits:
+        h = (h << np.uint64(1)) | b
+    return int(h)
+
+
+def with_phash(df: DataFrame, bin_col: str = "payload",
+               url_col: str = "url") -> DataFrame:
+    """Arrow-batched pHash column: (url, phash long); undecodable
+    payloads yield NULL (kept — dead-letter rows stay visible)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for url, data in zip(pdf[url_col], pdf[bin_col]):
+                try:
+                    # int64 reinterpret for the Spark long column
+                    h = phash64(bytes(data))
+                    out.append((url, h - (1 << 64) if h >= (1 << 63)
+                                else h))
+                except (NotImplementedError, ValueError):
+                    out.append((url, None))
+            yield pd.DataFrame(out, columns=["url", "phash"])
+
+    return df.select(url_col, bin_col).mapInPandas(
+        gen, schema="url string, phash long")
+
+
+def near_dup_images(df: DataFrame, bin_col: str = "payload",
+                    url_col: str = "url", max_distance: int = 3,
+                    max_bucket: int = 10_000) -> DataFrame:
+    """Image near-dup pairs: pHash + the SAME 4-chunk pigeonhole
+    banding machinery the text simhash path uses (exact for Hamming ≤
+    3) — cross-modal reuse of the engine's dedup physics. → (a, b,
+    hamming_dist)."""
+    from ..textops.simhash import _pairs_from_hashes
+
+    hashed = with_phash(df, bin_col, url_col).where(
+        F.col("phash").isNotNull())
+    return _pairs_from_hashes(hashed, id_col="url", hash_col="phash",
+                              max_distance=max_distance,
+                              max_bucket=max_bucket)

@@ -115,8 +115,22 @@ def near_dup_pairs_simhash(df: DataFrame, text_col: str = "text",
     quadratically with the corpus; ``max_bucket`` caps the worst
     buckets (a capped TRUE pair is only lost if all four of its
     chunks are over-cap)."""
-    assert max_distance <= 3
     sh = with_simhash(df, text_col, id_col)
+    return _pairs_from_hashes(sh, id_col=id_col, hash_col="simhash",
+                              max_distance=max_distance,
+                              max_bucket=max_bucket)
+
+
+def _pairs_from_hashes(hashed: DataFrame, id_col: str, hash_col: str,
+                       max_distance: int = 3,
+                       max_bucket: int = 10_000) -> DataFrame:
+    """(id, 64-bit hash) → (a, b, dist) Hamming pairs via the 4-chunk
+    pigeonhole + capped in-bucket pairwise compare. Hash-agnostic —
+    the text simhash path and the image pHash path
+    (mm.binary_ops.near_dup_images) share this exact machinery."""
+    assert max_distance <= 3
+    sh = hashed.select(F.col(id_col),
+                       F.col(hash_col).alias("simhash"))
     chunked = sh.select(
         F.col(id_col), F.col("simhash"),
         F.explode(F.array(*[

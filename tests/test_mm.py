@@ -331,3 +331,44 @@ def test_video_non_mjpeg_avi_falls_back_to_stub(spark):
                                "url string, payload binary")
     out = sample_video_frames(df).collect()
     assert len(out) >= 1 and out[0]["url"] == "u1"
+
+
+def test_phash_near_dup_images(spark):
+    """Perceptual hash: a lightly-perturbed image pairs with its
+    original (small Hamming distance); a structurally different image
+    does not — cross-modal reuse of the simhash banding machinery."""
+    import numpy as np
+
+    from rustac_spark.mm.binary_ops import near_dup_images, phash64
+    from rustac_spark.mm.codecs import ppm_encode
+
+    # textured images (rich low-frequency content keeps the AC signs
+    # stable under small edits; smooth gradients would leave most ACs
+    # near zero and noise-flippable)
+    h, w = 48, 64
+    rng = np.random.default_rng(11)
+    tex = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    # low-pass it so low frequencies dominate (block-average 8x8)
+    tex = tex.reshape(h // 8, 8, w // 8, 8, 3).mean(axis=(1, 3))
+    tex = np.repeat(np.repeat(tex, 8, axis=0), 8, axis=1) \
+        .astype(np.uint8)
+    perturbed = tex.copy()
+    perturbed[5:8, 5:8] = 255 - perturbed[5:8, 5:8]  # small local edit
+    other = rng.integers(0, 256, (h // 8, w // 8, 3))
+    other = np.repeat(np.repeat(other, 8, axis=0), 8, axis=1) \
+        .astype(np.uint8)
+
+    a, b, c = (ppm_encode(x) for x in (tex, perturbed, other))
+    d_ab = bin(phash64(a) ^ phash64(b)).count("1")
+    d_ac = bin(phash64(a) ^ phash64(c)).count("1")
+    assert d_ab <= 3 < d_ac  # precondition: the recipe separates them
+
+    df = spark.createDataFrame(
+        [("A", bytearray(a)), ("B", bytearray(b)), ("C", bytearray(c)),
+         ("bad", bytearray(b"not an image"))],
+        "url string, payload binary")
+    pairs = {(r["a"], r["b"]): r["dist"]
+             for r in near_dup_images(df).collect()}
+    assert ("A", "B") in pairs and pairs[("A", "B")] == d_ab
+    assert all("C" not in p for p in pairs)
+    assert all("bad" not in p for p in pairs)  # dead-letter row silent
