@@ -90,6 +90,40 @@ class SnapshotTable:
             sid = m["parent"]
         return list(reversed(out))
 
+    def read_changes(self, from_id: int,
+                     to_id: int | None = None) -> DataFrame:
+        """Incremental (CDC) read: the row-level changelog between two
+        snapshots, at the table's file granularity — Iceberg's
+        incremental-scan semantics. Rows from files ADDED between the
+        snapshots carry _change_type='insert'; rows from files REMOVED
+        carry 'delete'. A copy-on-write rewrite therefore appears as
+        delete-of-old-file-rows + insert-of-survivors, whose NET
+        effect equals the row-level delete — consumers that fold the
+        changelog (inserts minus deletes, as multisets) reconstruct
+        `read(to_id)` exactly from `read(from_id)`. One scan over
+        only the CHANGED files: at 10^12 rows an incremental consumer
+        never touches the unchanged ones."""
+        if to_id is None:
+            to_id = self.current_snapshot_id()
+        f_old = set(self.manifest(from_id)["files"])
+        f_new = set(self.manifest(to_id)["files"])
+        added = sorted(f_new - f_old)
+        removed = sorted(f_old - f_new)
+        parts = []
+        if added:
+            parts.append(self.spark.read.parquet(*added)
+                         .withColumn("_change_type", F.lit("insert")))
+        if removed:
+            parts.append(self.spark.read.parquet(*removed)
+                         .withColumn("_change_type", F.lit("delete")))
+        if not parts:
+            return (self.read(to_id).limit(0)
+                    .withColumn("_change_type", F.lit("insert")))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     # ------------------------------------------------------- writing
 
     def _stage_files(self, df: DataFrame) -> tuple[list[str], int]:

@@ -130,3 +130,35 @@ def test_delete_where_null_predicate_keeps_rows(spark, tmp_path):
     t.delete_where(F.col("val") > 50)
     got = sorted(r["id"] for r in t.read().collect())
     assert got == [1, 2]  # id=2 (val NULL) survives, id=3 deleted
+
+
+def test_read_changes_reconstructs_states(spark, tmp_path):
+    """CDC changelog: folding inserts/deletes between two snapshots
+    onto the FROM state reproduces the TO state exactly (multiset
+    equality), across append, file-granular delete, and upsert."""
+    from collections import Counter
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.create(_rows(spark, range(20)).repartitionByRange(4, "id"))
+    t.append(_rows(spark, range(20, 30)))
+    t.delete_where("id >= 25")
+    t.upsert(spark.createDataFrame([(3, "NEW3", 9)],
+                                   "id long, url string, grp long"),
+             key="id")
+    last = t.current_snapshot_id()
+
+    def key(r):
+        return (r["id"], r["url"], r["grp"])
+
+    for frm in range(1, last):
+        state = Counter(key(r) for r in t.read(frm).collect())
+        for r in t.read_changes(frm, last).collect():
+            if r["_change_type"] == "insert":
+                state[key(r)] += 1
+            else:
+                state[key(r)] -= 1
+        want = Counter(key(r) for r in t.read(last).collect())
+        assert +state == want, f"from snapshot {frm}"
+    # no-op diff is empty but schema-stable
+    empty = t.read_changes(last, last)
+    assert empty.count() == 0 and "_change_type" in empty.columns
