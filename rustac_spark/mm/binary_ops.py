@@ -62,7 +62,8 @@ def extract_image_features(df: DataFrame, bin_col: str = "payload",
                     arr = decode_image(bytes(data))
                     rows.append((url, arr.shape[1], arr.shape[0],
                                  arr.shape[2], image_features(arr)))
-                except (NotImplementedError, ValueError):
+                except (NotImplementedError, ValueError, TypeError):
+                    # TypeError: null payload cell (bytes(None))
                     rows.append((url, None, None, None, None))
             yield pd.DataFrame(rows, columns=[
                 "url", "width", "height", "channels", "features"])
@@ -92,7 +93,7 @@ def extract_audio_features(df: DataFrame, bin_col: str = "payload",
                     dur, rms, peak, zcr = audio_features(s, rate)
                     rows.append((url, s.shape[0], s.shape[1], rate,
                                  dur, rms, peak, zcr))
-                except (NotImplementedError, ValueError):
+                except (NotImplementedError, ValueError, TypeError):
                     rows.append((url, None, None, None,
                                  None, None, None, None))
             yield pd.DataFrame(rows, columns=[
@@ -106,7 +107,10 @@ def extract_audio_features(df: DataFrame, bin_col: str = "payload",
 def sample_frames_stub(data: bytes, every_n: int = 30,
                        max_frames: int = 8) -> list[bytes]:
     """STUB — deterministic fake video frame sampling (real impl:
-    ffmpeg/pyav). Emits ≤max_frames chunks keyed off payload bytes."""
+    ffmpeg/pyav). Emits ≤max_frames chunks keyed off payload bytes;
+    an empty/null payload yields no frames."""
+    if not data:
+        return []
     n = min(max_frames, max(1, len(data) // max(1, every_n)))
     return [bytes([data[i % len(data)]]) * 4 for i in range(n)]
 
@@ -126,7 +130,7 @@ def resize_images(df: DataFrame, width: int = 256, height: int = 256,
                     arr = resize_nearest(decode_image(bytes(data)),
                                          width, height)
                     rows.append((url, ppm_encode(arr), width, height))
-                except (NotImplementedError, ValueError):
+                except (NotImplementedError, ValueError, TypeError):
                     rows.append((url, None, None, None))
             yield pd.DataFrame(rows, columns=[
                 "url", "resized", "width", "height"])
@@ -153,7 +157,7 @@ def sample_video_frames(df: DataFrame, bin_col: str = "payload",
         for pdf in batches:
             rows = []
             for url, data in zip(pdf[url_col], pdf[bin_col]):
-                data = bytes(data)
+                data = bytes(data) if data is not None else b""
                 try:
                     frames = avi_mjpeg_frames(data)
                 except ValueError:
@@ -181,19 +185,19 @@ def phash64(data: bytes) -> int:
     """64-bit perceptual image hash (classic pHash recipe): decode →
     grayscale → nearest-neighbor 32×32 → 2-D DCT (the same orthonormal
     DCT-II kernel the from-scratch JPEG codec uses, mm/jpeg.py:95) →
-    keep the 8×8 low-frequency corner → threshold against the median
-    of the 63 AC terms. Visually-similar images land within a few
-    Hamming bits; raises on undecodable payloads (caller decides the
-    dead-letter policy)."""
+    keep the 8×8 low-frequency corner → threshold the 63 AC terms
+    against their median. The hash is 63 bits wide (DC is excluded —
+    it only encodes overall brightness); bit 63 is always 0.
+    Visually-similar images land within a few Hamming bits; raises on
+    undecodable payloads (caller decides the dead-letter policy)."""
     import numpy as np
 
     from .codecs import decode_image, resize_nearest
-    from .jpeg import _C
 
     arr = resize_nearest(decode_image(data), 32, 32).astype(np.float64)
     gray = arr @ np.array([0.299, 0.587, 0.114])
-    # 32×32 DCT from the 8×8 basis construction generalized: build a
-    # 32-point orthonormal DCT-II the same way
+    # 32-point orthonormal DCT-II basis, the same construction as the
+    # JPEG codec's 8-point basis (mm/jpeg.py:95) generalized to n=32
     n = 32
     k = np.arange(n)
     c32 = np.sqrt(2.0 / n) * np.cos((2 * k[None, :] + 1)
@@ -218,11 +222,12 @@ def with_phash(df: DataFrame, bin_col: str = "payload",
         for pdf in batches:
             out = []
             for url, data in zip(pdf[url_col], pdf[bin_col]):
+                if data is None:  # null payload cell → null hash
+                    out.append((url, None))
+                    continue
                 try:
-                    # int64 reinterpret for the Spark long column
-                    h = phash64(bytes(data))
-                    out.append((url, h - (1 << 64) if h >= (1 << 63)
-                                else h))
+                    # 63-bit hash fits the Spark signed long directly
+                    out.append((url, phash64(bytes(data))))
                 except (NotImplementedError, ValueError):
                     out.append((url, None))
             yield pd.DataFrame(out, columns=["url", "phash"])

@@ -427,7 +427,10 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
         payload = data[pos + 8:pos + 8 + clen]
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
         if cid == b"fmt ":
-            fmt = struct.unpack_from("<HHIIHH", payload)
+            try:
+                fmt = struct.unpack_from("<HHIIHH", payload)
+            except struct.error as e:  # truncated fmt chunk
+                raise ValueError(f"corrupt WAV fmt chunk: {e}") from e
         elif cid == b"data":
             body = payload
     if fmt is None or body is None:
@@ -517,18 +520,29 @@ def avi_mjpeg_encode(frames: list[bytes], width: int, height: int,
 
 def decode_image(data: bytes) -> np.ndarray:
     """Dispatch on magic bytes → (h, w, 3) uint8 RGB. Raises
-    NotImplementedError for formats that need an external codec."""
-    if data.startswith(b"P6"):
-        return ppm_decode(data)
-    if data.startswith(b"BM"):
-        return bmp_decode(data)
-    if data.startswith(PNG_SIG):
-        return png_decode(data)
-    if data[:6] in (b"GIF87a", b"GIF89a"):
-        return gif_decode(data)
-    if data.startswith(b"\xff\xd8\xff"):
-        from .jpeg import jpeg_decode
-        return jpeg_decode(data)
+    NotImplementedError for formats that need an external codec, and
+    normalizes every low-level parse failure (truncated payloads that
+    pass the magic sniff raise struct.error / zlib.error / IndexError
+    from the kernels) to ValueError — the dead-letter contract every
+    Arrow consumer relies on catches exactly (NotImplementedError,
+    ValueError)."""
+    try:
+        if data.startswith(b"P6"):
+            return ppm_decode(data)
+        if data.startswith(b"BM"):
+            return bmp_decode(data)
+        if data.startswith(PNG_SIG):
+            return png_decode(data)
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            return gif_decode(data)
+        if data.startswith(b"\xff\xd8\xff"):
+            from .jpeg import jpeg_decode
+            return jpeg_decode(data)
+    except (ValueError, NotImplementedError):
+        raise
+    except (struct.error, zlib.error, IndexError, EOFError,
+            KeyError) as e:
+        raise ValueError(f"corrupt image payload: {e}") from e
     raise NotImplementedError(
         "unrecognized image format (PPM/BMP/PNG/GIF/baseline-JPEG "
         "decode from scratch; anything else needs Pillow)")

@@ -36,7 +36,7 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, run_dir: str,
     """Run the five-stage curation pipeline; returns (chunks, report).
     `report` maps stage → {rows, wall_s} from the commit markers."""
     from ..textops.basic import (chunk_tokens, exact_dedup_groups,
-                                 fingerprint_sha256, with_pii_scrub)
+                                 with_pii_scrub)
     from ..textops.cluster import connected_components, dedup_retain
     from ..textops.minhash import near_dup_pairs
     from ..textops.quality_rules import (with_c4_filters,
@@ -56,20 +56,37 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, run_dir: str,
     def exact():
         keep = (exact_dedup_groups(clean, text_col, id_col)
                 .select(F.col("keep_id").alias(id_col)))
-        return clean.withColumn(
-            "fingerprint", fingerprint_sha256(F.col(text_col))) \
-            .join(keep, id_col, "left_semi").drop("fingerprint")
+        return clean.join(keep, id_col, "left_semi")
     exact_kept = pipe.stage("exact_dedup", exact)
 
     def neardup():
-        pairs = near_dup_pairs(exact_kept,
-                               threshold=near_dup_threshold,
-                               id_col=id_col, text_col=text_col)
+        from pyspark.sql.types import IntegralType
+
+        # the MinHash Arrow kernel keys on LONG ids; non-integral id
+        # columns get a deterministic xxhash64 surrogate (collision
+        # odds 2^-64 per pair — a collision could at worst drop one
+        # extra doc, the standard trade of hash-keyed dedup)
+        kept = exact_kept
+        key = id_col
+        if not isinstance(kept.schema[id_col].dataType, IntegralType):
+            key = "_sid"
+            kept = kept.withColumn(key, F.xxhash64(F.col(id_col)))
+        # pairs are checkpointed once: the emptiness probe AND the
+        # connected-components rounds both consume them, and the
+        # MinHash/LSH/verify pipeline is the stage's expensive part —
+        # it must not run twice
+        pairs = near_dup_pairs(kept, threshold=near_dup_threshold,
+                               id_col=key, text_col=text_col) \
+            .select(F.col("a"), F.col("b")) \
+            .localCheckpoint(eager=True)
         if pairs.limit(1).count() == 0:
             return exact_kept
-        clusters = connected_components(
-            pairs.select(F.col("a"), F.col("b")))
-        return dedup_retain(exact_kept, clusters, id_col)
+        # connected_components emits (doc_id, cluster_id) — align the
+        # id column to the join key name for the retention join
+        clusters = connected_components(pairs).withColumnRenamed(
+            "doc_id", key)
+        out = dedup_retain(kept, clusters, key)
+        return out.drop("_sid") if key == "_sid" else out
     retained = pipe.stage("near_dedup", neardup)
 
     def pii():

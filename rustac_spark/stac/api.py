@@ -69,6 +69,10 @@ def search_page_keyset(df: DataFrame, search: Search,
     matched = plan.count() if count_matched else -1
     if after:
         vals = after["keys"]
+        if len(vals) != len(keys):
+            raise ValueError(
+                f"keyset token has {len(vals)} keys but the sort "
+                f"needs {len(keys)} — token from a different sortby")
         # lexicographic (k1,k2,...) > (v1,v2,...) with per-key
         # direction: OR over strict-prefix-equal branches.
         # NULL-aware (round-2 ADVICE): the sort is NULLS LAST in both

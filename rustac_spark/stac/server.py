@@ -364,7 +364,7 @@ class _Handler(BaseHTTPRequestHandler):
                         app.post_item(parts[1], body or {}), status=201)
             self._error(404, f"no route {method} {parsed.path}")
         except (SearchValidationError, QueryNotImplemented,
-                ValueError, KeyError, TypeError) as e:
+                ValueError, KeyError, TypeError, IndexError) as e:
             # KeyError/TypeError cover malformed request documents
             # (e.g. POST /collections without "id") — a bad request
             # must answer 400, never abort the connection

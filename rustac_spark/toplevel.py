@@ -24,6 +24,25 @@ from pyspark.sql import DataFrame, SparkSession
 from .stac.io import Format, configure_object_store, infer_from_href
 
 
+def _route_store(spark: SparkSession, href: str,
+                 options: dict) -> str:
+    """Route object-store schemes (s3://, gs://, abfs:// …) through
+    the Hadoop connector config; leave Spark-native schemes
+    (hdfs://, file://, plain paths) untouched — Spark reads those
+    directly, and rejecting them here would break hrefs the lineage
+    layer explicitly supports."""
+    from .stac.io import _STORE_SCHEMES
+
+    scheme = href.split("://", 1)[0] if "://" in href else ""
+    if scheme in _STORE_SCHEMES:
+        return configure_object_store(spark, href, **options)
+    if options:
+        raise ValueError(
+            f"store options given but {scheme or 'local'!r} is not an "
+            f"object-store scheme")
+    return href
+
+
 def read(spark: SparkSession, href: str,
          format: Format | str | None = None, **store_options
          ) -> DataFrame:
@@ -34,8 +53,7 @@ def read(spark: SparkSession, href: str,
     from .stac.io import format_from_str
     from .stac.translate import coerce_item_columns, read_ndjson_items
 
-    if store_options or "://" in href:
-        href = configure_object_store(spark, href, **store_options)
+    href = _route_store(spark, href, store_options)
     fmt = (format_from_str(format) if isinstance(format, str)
            else format) or infer_from_href(href)
     if fmt.kind == "geoparquet":
@@ -67,9 +85,7 @@ def write(df: DataFrame, href: str,
     from .stac.items_io import write_feature_collection
     from .stac.translate import write_ndjson_items, write_stac_geoparquet
 
-    if store_options:
-        href = configure_object_store(df.sparkSession, href,
-                                      **store_options)
+    href = _route_store(df.sparkSession, href, store_options)
     fmt = (format_from_str(format) if isinstance(format, str)
            else format) or infer_from_href(href)
     if fmt.kind == "geoparquet":

@@ -68,3 +68,15 @@ def test_curate_corpus_resumes_from_commits(spark, tmp_path):
     out2, rep2 = curate_corpus(spark, docs, run)
     assert rep2 == rep1
     assert out2.count() == n1
+
+
+def test_curate_corpus_custom_id_col(spark, tmp_path):
+    """id_col other than doc_id must work end-to-end (the
+    connected-components output is renamed for the retention join)."""
+    docs = _corpus(spark).select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        "text")
+    out, report = curate_corpus(spark, docs, str(tmp_path / "run"),
+                                id_col="url")
+    assert report["near_dedup"]["rows"] <= report["exact_dedup"]["rows"]
+    assert "url" in out.columns and out.count() > 0

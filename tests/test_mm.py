@@ -372,3 +372,31 @@ def test_phash_near_dup_images(spark):
     assert ("A", "B") in pairs and pairs[("A", "B")] == d_ab
     assert all("C" not in p for p in pairs)
     assert all("bad" not in p for p in pairs)  # dead-letter row silent
+
+
+def test_corrupt_and_null_payloads_dead_letter(spark):
+    """Truncated payloads that pass the magic sniff (struct/zlib-level
+    failures) and NULL payload cells must produce NULL rows, not kill
+    the Arrow task."""
+    from rustac_spark.mm.binary_ops import (extract_audio_features,
+                                            extract_image_features,
+                                            with_phash)
+
+    rows = [("trunc-bmp", bytearray(b"BM" + b"\x01" * 10)),
+            ("trunc-png", bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 12)),
+            ("trunc-gif", bytearray(b"GIF89a" + b"\x00" * 3)),
+            ("null", None)]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    imgs = {r["url"]: r["width"]
+            for r in extract_image_features(df).collect()}
+    assert imgs == {"trunc-bmp": None, "trunc-png": None,
+                    "trunc-gif": None, "null": None}
+    ph = {r["url"]: r["phash"] for r in with_phash(df).collect()}
+    assert set(ph.values()) == {None}
+    wav = spark.createDataFrame(
+        [("trunc-wav", bytearray(b"RIFF\x10\x00\x00\x00WAVE"
+                                 b"fmt \x02\x00\x00\x00\x01\x00")),
+         ("null", None)], "url string, payload binary")
+    au = {r["url"]: r["n_samples"]
+          for r in extract_audio_features(wav).collect()}
+    assert au == {"trunc-wav": None, "null": None}

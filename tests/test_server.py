@@ -221,3 +221,13 @@ def test_keyset_bad_cursor_400(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(f"{server}/search?cursor=%21%21notbase64")
     assert e.value.code == 400
+
+
+def test_keyset_short_cursor_400(server):
+    """A structurally valid cursor with the wrong key count (token
+    from a different sortby) must answer 400, not drop the socket."""
+    import base64
+    tok = base64.urlsafe_b64encode(b"[]").decode()
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{server}/search?sortby=-datetime&cursor={tok}")
+    assert e.value.code == 400
