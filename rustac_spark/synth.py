@@ -123,6 +123,34 @@ QUERY_DATETIMES = [
 ]
 
 
+def probe_anchor(q: int) -> tuple[float, float]:
+    """Deterministic (lon, lat) anchor of probe q (top-20 zipf-hot
+    domain locations) — single source of truth for the generator AND
+    the SQL-oracle builders in __spark_entry__."""
+    domain = f"d{q % 20:03d}.example.com"
+    lat = (stable_hash(domain) % 170_000) / 1000.0 - 85.0
+    lon = (stable_hash(domain + "x") % 360_000) / 1000.0 - 180.0
+    return (min(max(lon, -179.0), 179.0), min(max(lat, -84.0), 84.0))
+
+
+def irregular_polygon_ring(q: int, lon: float, lat: float,
+                           nv: int = 7) -> list[tuple[float, float]]:
+    """Closed ring of the irregular 7-gon probe: vertices at equal
+    angle steps with hash-varied radii around (lon, lat). Vertices
+    are in strictly increasing angular order around the anchor, so
+    the polygon is STAR-SHAPED with respect to it — the fan triangles
+    (anchor, v_i, v_{i+1}) tile it exactly, which is what lets the
+    DuckDB oracle express exact rect×polygon intersection as an OR of
+    per-triangle separating-axis conjunctions."""
+    pts = []
+    for v in range(nv):
+        ang = 2 * math.pi * v / nv
+        r = 0.08 + (stable_hash(f"q{q}r{v}") % 100) / 100.0 * 0.35
+        pts.append((lon + r * math.cos(ang), lat + r * math.sin(ang)))
+    pts.append(pts[0])
+    return pts
+
+
 def queries_pandas(n_queries: int = 60) -> pd.DataFrame:
     """Spatial-join probe set anchored at top-domain locations."""
     rows = []
@@ -147,14 +175,8 @@ def queries_pandas(n_queries: int = 60) -> pd.DataFrame:
             xmin = xmax = x
             ymin = ymax = y
             geom = point_wkb(x, y)
-        else:  # irregular convex-ish polygon, 7 vertices
-            nv = 7
-            pts = []
-            for v in range(nv):
-                ang = 2 * math.pi * v / nv
-                r = 0.08 + (stable_hash(f"q{q}r{v}") % 100) / 100.0 * 0.35
-                pts.append((lon + r * math.cos(ang), lat + r * math.sin(ang)))
-            pts.append(pts[0])
+        else:  # irregular 7-gon, star-shaped around the anchor
+            pts = irregular_polygon_ring(q, lon, lat)
             geom = polygon_wkb(pts)
             xs = [p[0] for p in pts]
             ys = [p[1] for p in pts]
