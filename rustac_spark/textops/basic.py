@@ -183,3 +183,44 @@ def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("n_phones",
                         F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), 0)))
             .withColumn("scrubbed_text", scrubbed))
+
+
+# ---------------------------------------------------- URL canonicalize
+
+_TRACKING_PARAMS = ("utm_[a-z]+", "gclid", "fbclid", "msclkid",
+                    "ref_src", "mc_cid", "mc_eid")
+
+
+def canonical_url(url: Column) -> Column:
+    """Crawl-dedup URL canonicalization — pure Column regexps:
+    lowercase scheme+host, drop the fragment, strip tracking query
+    params (utm_*, gclid, fbclid, …), drop an empty '?', collapse a
+    trailing slash on non-root paths, and default-port removal. Two
+    pages differing only in these never differ in content, so
+    grouping by canonical_url is the standard first dedup pass of a
+    crawl pipeline (narrow, zero shuffle until the groupBy)."""
+    u = F.regexp_replace(url, r"#.*$", "")             # fragment
+    # lowercase scheme://host (leave path/query case alone)
+    u = F.concat(F.lower(F.regexp_extract(u, r"^([^/]*//[^/]*)", 1)),
+                 F.regexp_replace(u, r"^[^/]*//[^/]*", ""))
+    u = F.regexp_replace(u, r":(80|443)(/|$)", r"$2")  # default ports
+    pat = "|".join(_TRACKING_PARAMS)
+    u = F.regexp_replace(u, rf"([?&])({pat})=[^&#]*", r"$1")
+    u = F.regexp_replace(u, r"/\?", "?")               # slash before query
+    u = F.regexp_replace(u, r"[?&]+$", "")             # dangling ? / &
+    u = F.regexp_replace(u, r"\?&", "?")               # ?&rest → ?rest
+    u = F.regexp_replace(u, r"&&+", "&")
+    u = F.regexp_replace(u, r"(.)/$", r"$1")           # trailing slash
+    return u
+
+
+def dedup_by_canonical_url(df: DataFrame,
+                           url_col: str = "url") -> DataFrame:
+    """Keep one row per canonical URL (the lexicographically-first
+    original URL wins — deterministic): one map-side-combined
+    groupBy, the standard crawl first-pass dedup."""
+    c = canonical_url(F.col(url_col)).alias("canonical_url")
+    keep = (df.select(c, F.col(url_col))
+            .groupBy("canonical_url")
+            .agg(F.min(url_col).alias(url_col)))
+    return df.join(keep, url_col, "left_semi")

@@ -121,3 +121,31 @@ def dup_ngram_spans(docs: DataFrame, n: int = 10, min_count: int = 2,
                  (F.max("pos") + F.lit(n - 1)).alias("span_end"),
                  F.count("*").alias("n_dup_grams"))
             .drop("_run"))
+
+
+def with_dup_span_fraction(docs: DataFrame, n: int = 10,
+                           min_count: int = 2, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           hashed: bool = True) -> DataFrame:
+    """Per-doc duplicated-token fraction — the RefinedWeb-style
+    "what share of this document is corpus-duplicated text" filter
+    signal, derived from dup_ngram_spans: covered tokens / total
+    tokens (0.0 for docs with no duplicated span or fewer than n
+    tokens). One left join of the span summary back onto the corpus;
+    docs themselves are never reshuffled."""
+    spans = dup_ngram_spans(docs, n=n, min_count=min_count,
+                            id_col=id_col, text_col=text_col,
+                            hashed=hashed)
+    covered = (spans.groupBy(id_col)
+               .agg(F.sum(F.col("span_end") - F.col("span_start")
+                          + F.lit(1)).alias("_dup_tokens")))
+    tk = F.split(F.trim(F.col(text_col)), r"\s+")
+    out = (docs.join(covered, id_col, "left")
+           .withColumn("n_tokens_total", F.size(tk))
+           .withColumn(
+               "dup_span_fraction",
+               F.round(F.coalesce(F.col("_dup_tokens"), F.lit(0))
+                       / F.greatest(F.col("n_tokens_total"), F.lit(1)),
+                       6))
+           .drop("_dup_tokens"))
+    return out

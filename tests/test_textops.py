@@ -631,3 +631,42 @@ def test_dup_ngram_spans_random_corpus_vs_bruteforce(spark):
            for r in dup_ngram_spans(docs, n=n, min_count=min_count,
                                     hashed=False).collect()}
     assert got == expected
+
+
+def test_canonical_url_and_dedup(spark):
+    from rustac_spark.textops.basic import (canonical_url,
+                                            dedup_by_canonical_url)
+
+    rows = [
+        (1, "HTTPS://Example.COM:443/a/b/?utm_source=x&id=3#frag"),
+        (2, "https://example.com/a/b?id=3"),       # same canonical
+        (3, "https://example.com/a/b?id=4"),       # different query
+        (4, "http://other.org/"),
+        (5, "http://other.org"),                   # same canonical
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r["c"] for r in df.select(
+        "doc_id", canonical_url(F.col("url")).alias("c")).collect()}
+    assert got[1] == got[2] == "https://example.com/a/b?id=3"
+    assert got[3] == "https://example.com/a/b?id=4"
+    assert got[4] == got[5]
+    kept = {r["doc_id"] for r in dedup_by_canonical_url(df).collect()}
+    assert len(kept) == 3
+    assert 3 in kept                      # distinct query survives
+    assert len({1, 2} & kept) == 1 and len({4, 5} & kept) == 1
+
+
+def test_dup_span_fraction(spark):
+    from rustac_spark.textops.ngram import with_dup_span_fraction
+
+    shared = " ".join(f"w{i}" for i in range(10))   # 10 shared tokens
+    docs = spark.createDataFrame(
+        [(1, f"{shared} u1a u1b u1c u1d u1e u1f u1g u1h u1i u1j"),
+         (2, f"u2a u2b u2c u2d u2e u2f u2g u2h u2i u2j {shared}"),
+         (3, "all unique tokens here nothing repeats in this doc x y")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["dup_span_fraction"], r["n_tokens_total"])
+           for r in with_dup_span_fraction(docs, n=10, hashed=False)
+           .collect()}
+    assert out[1] == (0.5, 20) and out[2] == (0.5, 20)
+    assert out[3] == (0.0, 11)
