@@ -670,3 +670,22 @@ def test_dup_span_fraction(spark):
            .collect()}
     assert out[1] == (0.5, 20) and out[2] == (0.5, 20)
     assert out[3] == (0.0, 11)
+
+
+def test_canonical_url_idempotent(spark):
+    """canonical_url is a normal form: applying it twice equals once
+    (checked over a batch of adversarial URLs in one pass)."""
+    from rustac_spark.textops.basic import canonical_url
+
+    urls = [
+        "HTTP://A.B:80/", "https://x.y:443/p/?utm_a=1&utm_b=2",
+        "https://x.y/p?a=1&utm_c=3&b=2#z", "http://h/p/q/",
+        "https://h", "http://h/?gclid=abc", "http://h/p?&",
+        "ftp://H.I/Z?fbclid=1&keep=2",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = canonical_url(F.col("url")).alias("c1")
+    out = df.select(once).select(
+        F.col("c1"), canonical_url(F.col("c1")).alias("c2")).collect()
+    for r in out:
+        assert r["c1"] == r["c2"], r
