@@ -41,6 +41,10 @@ class _LocalFS:
     def exists(self, path: str) -> bool:
         return os.path.exists(path)
 
+    def delete(self, path: str) -> None:
+        if os.path.exists(path):
+            os.remove(path)
+
     def write_text_atomic(self, path: str, text: str) -> None:
         tmp = path + f".tmp.{uuid.uuid4().hex[:6]}"
         with open(tmp, "w") as f:
@@ -84,6 +88,9 @@ class _HadoopFS:
 
     def exists(self, path: str) -> bool:
         return self._fs.exists(self._p(path))
+
+    def delete(self, path: str) -> None:
+        self._fs.delete(self._p(path), False)
 
     def write_text_atomic(self, path: str, text: str) -> None:
         tmp = path + f".tmp.{uuid.uuid4().hex[:6]}"

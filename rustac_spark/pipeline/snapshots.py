@@ -124,6 +124,49 @@ class SnapshotTable:
             out = out.unionByName(p)
         return out
 
+    # -------------------------------------------------- maintenance
+
+    def expire_snapshots(self, keep_last: int) -> dict:
+        """Retention maintenance (Iceberg's expire_snapshots +
+        orphan-file vacuum): keep the most recent ``keep_last``
+        snapshots, delete older manifests, and physically delete
+        every data file no retained snapshot references. Time travel
+        beyond the horizon is gone by design; CURRENT and all
+        retained snapshots stay byte-identical readable. Pure
+        metadata work plus O(orphans) deletes — no data scan.
+
+        Returns {"expired_snapshots": [...], "deleted_files": n}."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        chain = []
+        sid = self.current_snapshot_id()
+        while sid is not None:
+            chain.append(sid)
+            sid = self.manifest(sid)["parent"]
+        keep, expire = chain[:keep_last], chain[keep_last:]
+        if not expire:
+            return {"expired_snapshots": [], "deleted_files": 0}
+        live: set[str] = set()
+        for s in keep:
+            live.update(self.manifest(s)["files"])
+        dead: set[str] = set()
+        for s in expire:
+            dead.update(f for f in self.manifest(s)["files"]
+                        if f not in live)
+        for f in sorted(dead):
+            self.fs.delete(f)
+        for s in expire:
+            self.fs.delete(f"{_meta(self.dir)}/snap-{s}.json")
+        # oldest retained snapshot becomes the chain root
+        root = json.loads(self.fs.read_text(
+            f"{_meta(self.dir)}/snap-{keep[-1]}.json"))
+        root["parent"] = None
+        self.fs.write_text_atomic(
+            f"{_meta(self.dir)}/snap-{keep[-1]}.json",
+            json.dumps(root))
+        return {"expired_snapshots": expire,
+                "deleted_files": len(dead)}
+
     # ------------------------------------------------------- writing
 
     def _stage_files(self, df: DataFrame) -> tuple[list[str], int]:

@@ -162,3 +162,38 @@ def test_read_changes_reconstructs_states(spark, tmp_path):
     # no-op diff is empty but schema-stable
     empty = t.read_changes(last, last)
     assert empty.count() == 0 and "_change_type" in empty.columns
+
+
+def test_expire_snapshots_vacuum(spark, tmp_path):
+    """Retention: expired manifests disappear, orphaned data files are
+    physically deleted, retained snapshots (incl. CURRENT) stay
+    byte-identical readable, and history re-roots cleanly."""
+    import os
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.create(_rows(spark, range(20)).repartitionByRange(4, "id"))
+    t.delete_where("id < 5")     # rewrites one file; snap 2
+    t.append(_rows(spark, range(20, 25)))   # snap 3
+    before_cur = sorted(r["id"] for r in t.read().collect())
+    n_files_before = sum(
+        len(files) for _, _, files in os.walk(tmp_path / "tbl" / "data"))
+
+    out = t.expire_snapshots(keep_last=2)
+    assert out["expired_snapshots"] == [1]
+    assert out["deleted_files"] >= 1     # snap 1's rewritten file
+    # retained snapshots unaffected
+    assert sorted(r["id"] for r in t.read().collect()) == before_cur
+    assert t.read(snapshot_id=2).count() == 15
+    # expired snapshot unreadable, orphan files physically gone
+    with pytest.raises(FileNotFoundError):
+        t.manifest(1)
+    n_files_after = sum(
+        len(files) for _, _, files in os.walk(tmp_path / "tbl" / "data"))
+    assert n_files_after == n_files_before - out["deleted_files"]
+    # history re-rooted at the oldest retained snapshot
+    assert [h["snapshot_id"] for h in t.history()] == [2, 3]
+    # further writes continue normally
+    t.append(_rows(spark, range(25, 30)))
+    assert t.read().count() == 25
+    # idempotent when nothing to expire beyond the horizon
+    assert t.expire_snapshots(keep_last=10)["deleted_files"] == 0
