@@ -79,18 +79,20 @@ def dup_ngram_spans(docs: DataFrame, n: int = 10, min_count: int = 2,
     (doc_id, span_start, span_end, n_dup_grams) in token offsets
     (span_end inclusive, = last covered token index).
 
-    Physical shape (one logical pipeline, three narrow/shuffle steps):
+    Physical shape (SINGLE corpus pass, two shuffles):
       1. posting list — posexplode token n-grams (narrow);
-      2. corpus-frequent grams — ONE map-side-combined groupBy on the
-         gram key; `hashed=True` keys on xxhash64 of the gram text so
+      2. per-gram corpus frequency via a window count partitioned on
+         the gram key — one shuffle, and the postings are tokenized /
+         exploded exactly ONCE (the earlier aggregate-then-join form
+         recomputed the explode for the join probe side, doubling the
+         scan). `hashed=True` keys on xxhash64 of the gram text so
          the shuffle moves 8-byte keys, not strings (the 100 TB
          default; collisions only ever MERGE frequency counts, so a
          span can only be over-reported, never lost — pass
          hashed=False for the bit-exact string-keyed variant the
          DuckDB gate oracle uses);
-      3. join postings to frequent grams (AQE decides broadcast when
-         the frequent set is small) and merge adjacent positions into
-         maximal spans with one per-doc window pass.
+      3. merge adjacent positions into maximal spans with one per-doc
+         window pass.
     """
     from pyspark.sql import Window
 
@@ -105,11 +107,10 @@ def dup_ngram_spans(docs: DataFrame, n: int = 10, min_count: int = 2,
                     "posexplode(sequence(0, size(tk) - {n}))"
                     .format(n=n)).alias("_i", "pos"), "tk")
                 .select(id_col, "pos", key.alias("g")))
-    frequent = (postings.groupBy("g")
-                .agg(F.count("*").alias("cnt"))
-                .where(F.col("cnt") >= min_count)
-                .select("g"))
-    dup = postings.join(frequent, "g").select(id_col, "pos")
+    dup = (postings
+           .withColumn("_cnt", F.count("*").over(Window.partitionBy("g")))
+           .where(F.col("_cnt") >= min_count)
+           .select(id_col, "pos"))
     w = Window.partitionBy(id_col).orderBy("pos")
     runs = (dup
             .withColumn("_new", F.when(
