@@ -124,21 +124,24 @@ def cmd_serve(args) -> int:
     on a snapshot table so POST /collections + POST items work."""
     from .stac.server import serve
     spark = _spark(args)
+
+    # foreground serve() blocks in the accept loop, so startup
+    # feedback must come from the pre-loop ready callback — printing
+    # on return would only appear after shutdown
+    def ready(base: str) -> None:
+        print(f"serving STAC API at {base}", file=sys.stderr)
+
     if args.writable:
         from .stac.transactions import TransactionClient
         txn = TransactionClient(spark, args.table_dir)
         if txn.table.current_snapshot_id() is None:
             txn.add_items(_read_items(spark, args.path))
-        srv, base = serve(txn=txn, host=args.host, port=args.port,
-                          background=args.background)
+        serve(txn=txn, host=args.host, port=args.port,
+              background=args.background, ready=ready)
     else:
-        srv, base = serve(items=_read_items(spark, args.path),
-                          host=args.host, port=args.port,
-                          background=args.background)
-    print(f"serving STAC API at {base}", file=sys.stderr)
-    if args.background:
-        # test/driver mode: caller owns the lifetime
-        return 0
+        serve(items=_read_items(spark, args.path),
+              host=args.host, port=args.port,
+              background=args.background, ready=ready)
     return 0
 
 

@@ -389,10 +389,14 @@ class _Handler(BaseHTTPRequestHandler):
 
 def serve(items: DataFrame | None = None, txn=None,
           host: str = "127.0.0.1", port: int = 0,
-          background: bool = False):
+          background: bool = False, ready=None):
     """Start the STAC API server; returns (server, base_url). With
     ``background=True`` the accept loop runs in a daemon thread (the
     test/driver mode); otherwise this blocks like ``rustac serve``.
+    ``ready(base_url)`` (if given) fires after the port is bound but
+    BEFORE the blocking accept loop — foreground callers use it for
+    startup feedback, since their return-value base arrives only
+    after shutdown.
 
     Spark note: handler threads share the one SparkSession — Spark
     sessions are thread-safe for concurrent job submission, and the
@@ -402,6 +406,8 @@ def serve(items: DataFrame | None = None, txn=None,
     srv = ThreadingHTTPServer((host, port), handler)
     base = f"http://{host}:{srv.server_address[1]}"
     handler.app = StacApp(items=items, txn=txn, root=base)
+    if ready is not None:
+        ready(base)
     if background:
         t = threading.Thread(target=srv.serve_forever, daemon=True)
         t.start()

@@ -116,10 +116,15 @@ class TransactionClient:
         stays an O(1)-depth plan."""
         aligned = _align(items, self.read())
         sep = "\x1f"  # cannot appear in STAC ids/collection ids
-        keys = [f"{r['collection']}{sep}{r['id']}"
+        # NULL collections must key identically on both sides:
+        # concat_ws SKIPS nulls (yielding a sep-less 'id' that a
+        # Python-side 'None\x1fid' would never match, leaving stale
+        # versions behind) — so both sides map NULL → '' explicitly
+        keys = [f"{r['collection'] or ''}{sep}{r['id']}"
                 for r in aligned.select("collection", "id").collect()]
         self.table.delete_where(
-            F.concat_ws(sep, F.col("collection"), F.col("id"))
+            F.concat(F.coalesce(F.col("collection"), F.lit("")),
+                     F.lit(sep), F.col("id"))
             .isin(keys))
         return self.table.append(aligned)
 
@@ -225,8 +230,24 @@ def items_dataframe(spark: SparkSession, items: list[dict]) -> DataFrame:
     fields = []
     for k in keys:
         vals = [r[k] for r in rows if r.get(k) is not None]
-        fields.append(StructField(
-            k, infer(vals[0]) if vals else StringType(), True))
+        if not vals:
+            t = StringType()
+        else:
+            t = infer(vals[0])
+            # widen numerics across ALL values of the key: a batch
+            # mixing JSON ints and floats (eo:cloud_cover 10 then
+            # 10.5) must infer DoubleType, or createDataFrame's
+            # strict verifier rejects the float row and fails the
+            # whole ingest — mirror the _align cast direction
+            if isinstance(t, LongType) and any(
+                    isinstance(v, float) for v in vals):
+                t = DoubleType()
+        if isinstance(t, DoubleType):
+            for r in rows:  # verifier is strict: ints → floats
+                if isinstance(r.get(k), int) and not isinstance(
+                        r.get(k), bool):
+                    r[k] = float(r[k])
+        fields.append(StructField(k, t, True))
     schema = StructType(fields)
     return spark.createDataFrame(
         [tuple(r.get(k) for k in keys) for r in rows], schema)

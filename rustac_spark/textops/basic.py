@@ -203,7 +203,12 @@ def canonical_url(url: Column) -> Column:
     # lowercase scheme://host (leave path/query case alone)
     u = F.concat(F.lower(F.regexp_extract(u, r"^([^/]*//[^/]*)", 1)),
                  F.regexp_replace(u, r"^[^/]*//[^/]*", ""))
-    u = F.regexp_replace(u, r":(80|443)(/|$)", r"$2")  # default ports
+    # default ports — anchored to the authority (scheme://host:PORT)
+    # so ':80'/':443' inside a path segment or query value survives
+    # (http://h/p:80/q must NOT become http://h/p/q)
+    u = F.regexp_replace(
+        u, r"^([a-z][a-z0-9+.-]*://[^/?#:]+):(80|443)([/?#]|$)",
+        r"$1$3")
     pat = "|".join(_TRACKING_PARAMS)
     u = F.regexp_replace(u, rf"([?&])({pat})=[^&#]*", r"$1")
     u = F.regexp_replace(u, r"/\?", "?")               # slash before query

@@ -99,14 +99,26 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
 
 def dedup_cluster_assignments(docs: DataFrame, threshold: float = 0.3,
                               id_col: str = "doc_id",
-                              text_col: str = "text") -> DataFrame:
+                              text_col: str = "text",
+                              max_df: int | None = ...) -> DataFrame:
     """End-to-end near-dup clustering on exact n-gram Jaccard pairs:
     (doc_id, cluster_id) for every doc in a non-trivial component.
     The canonical keep-rule is `doc_id == cluster_id` (keep the
-    component minimum); callers drop the rest."""
-    from .ngram import jaccard_pairs
+    component minimum); callers drop the rest.
+
+    ``max_df`` defaults to ngram.DEFAULT_MAX_DF: candidate generation
+    prunes shingles shared by more than max_df docs (prefix
+    filtering) — at 10^12 docs one viral shingle otherwise makes the
+    inverted-index self-join a quadratic bucket (the ngram module
+    docstring calls the cap "the difference between a shuffle and an
+    outage"). Pass ``max_df=None`` explicitly for the fully
+    exhaustive join (the correctness gate does, to match its
+    recursive-CTE oracle at test scale)."""
+    from .ngram import DEFAULT_MAX_DF, jaccard_pairs
+    if max_df is ...:
+        max_df = DEFAULT_MAX_DF
     pairs = jaccard_pairs(docs, threshold=threshold, id_col=id_col,
-                          text_col=text_col, max_df=None)
+                          text_col=text_col, max_df=max_df)
     return connected_components(pairs)
 
 

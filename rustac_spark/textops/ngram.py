@@ -134,12 +134,33 @@ def with_dup_span_fraction(docs: DataFrame, n: int = 10,
     tokens (0.0 for docs with no duplicated span or fewer than n
     tokens). One left join of the span summary back onto the corpus;
     docs themselves are never reshuffled."""
+    from pyspark.sql import Window
+
     spans = dup_ngram_spans(docs, n=n, min_count=min_count,
                             id_col=id_col, text_col=text_col,
                             hashed=hashed)
-    covered = (spans.groupBy(id_col)
-               .agg(F.sum(F.col("span_end") - F.col("span_start")
-                          + F.lit(1)).alias("_dup_tokens")))
+    # spans can OVERLAP in token range: dup_ngram_spans splits runs on
+    # position gaps > 1, but each position covers n tokens, so two runs
+    # whose dup positions differ by 2..n-1 cover overlapping ranges
+    # (n=10, positions {0,2} → spans [0,9] and [2,11]). Summing raw
+    # lengths double-counts the overlap and can push the fraction past
+    # 1.0 — merge intervals per doc first: a span opens a new merged
+    # interval iff its start exceeds the running max end of all prior
+    # spans (ordered by start) + 1.
+    w = Window.partitionBy(id_col).orderBy("span_start", "span_end")
+    prev_end = F.max("span_end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    merged = (spans
+              .withColumn("_new", F.when(
+                  prev_end.isNull()
+                  | (F.col("span_start") > prev_end + 1), 1).otherwise(0))
+              .withColumn("_grp", F.sum("_new").over(
+                  w.rowsBetween(Window.unboundedPreceding, 0)))
+              .groupBy(id_col, "_grp")
+              .agg((F.max("span_end") - F.min("span_start")
+                    + F.lit(1)).alias("_len")))
+    covered = (merged.groupBy(id_col)
+               .agg(F.sum("_len").alias("_dup_tokens")))
     tk = F.split(F.trim(F.col(text_col)), r"\s+")
     out = (docs.join(covered, id_col, "left")
            .withColumn("n_tokens_total", F.size(tk))

@@ -83,6 +83,31 @@ def test_dedup_retain_keeps_representatives_and_singletons(spark):
     assert kept == [0, 1, 5]
 
 
+def test_dedup_cluster_assignments_default_caps_viral_shingles(spark):
+    """The production default prunes shingles whose document
+    frequency exceeds max_df from CANDIDATE GENERATION (prefix
+    filtering) — without the cap one viral shingle makes the
+    inverted-index self-join quadratic at corpus scale. Docs sharing
+    ONLY a >max_df shingle must produce no pairs under the default,
+    while max_df=None (the gate-oracle mode) still surfaces them."""
+    # 4 docs, all pairwise identical text → every shingle has df=4
+    docs = spark.createDataFrame(
+        [(i, "abcdefgh") for i in range(1, 5)],
+        "doc_id long, text string")
+    capped = dedup_cluster_assignments(docs, threshold=0.5, max_df=3)
+    assert capped.count() == 0
+    exhaustive = {(r["doc_id"], r["cluster_id"])
+                  for r in dedup_cluster_assignments(
+                      docs, threshold=0.5, max_df=None).collect()}
+    assert exhaustive == {(i, 1) for i in range(1, 5)}
+    # the no-argument default is the CAPPED mode (DEFAULT_MAX_DF),
+    # not the exhaustive join
+    import inspect
+
+    from rustac_spark.textops.cluster import dedup_cluster_assignments as f
+    assert inspect.signature(f).parameters["max_df"].default is ...
+
+
 def test_connected_components_long_chain(spark):
     """A 2000-node path graph (diameter 1999) must converge via
     pointer jumping — plain min-propagation would need 1999 rounds

@@ -689,3 +689,50 @@ def test_canonical_url_idempotent(spark):
         F.col("c1"), canonical_url(F.col("c1")).alias("c2")).collect()
     for r in out:
         assert r["c1"] == r["c2"], r
+
+
+def test_dup_span_fraction_overlapping_runs_merge(spark):
+    """Dup positions with gaps of 2..n-1 yield SEPARATE runs whose
+    n-token ranges overlap; coverage must come from merged intervals,
+    never exceed 1.0 (round-4 advice: raw run-length summing gave
+    20/12 for n=10, dup positions {0,2})."""
+    from rustac_spark.textops.ngram import with_dup_span_fraction
+
+    g = [f"g{i}" for i in range(12)]
+    doc_a = " ".join(g)                       # grams at pos 0,1,2
+    # doc B repeats A's pos-0 gram (g0..g9) and pos-2 gram (g2..g11)
+    # but never A's pos-1 gram (g1..g10): A's dup positions are {0,2}
+    doc_b = " ".join(g[0:10] + ["X"] + g[2:12])
+    docs = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b)], "doc_id long, text string")
+    out = {r["doc_id"]: (r["dup_span_fraction"], r["n_tokens_total"])
+           for r in with_dup_span_fraction(docs, n=10, hashed=False)
+           .collect()}
+    # A: merged([0,9],[2,11]) = [0,11] → 12/12, NOT 20/12
+    assert out[1] == (1.0, 12)
+    # B: dup at pos 0 ([0,9]) and pos 11 ([11,20]) — disjoint, 20/21
+    assert out[2] == (round(20 / 21, 6), 21)
+
+
+def test_canonical_url_port_strip_anchored_to_authority(spark):
+    """':80'/':443' is only a default port in the AUTHORITY —
+    occurrences in a path segment or query value must survive
+    (round-4 advice: the unanchored pattern conflated distinct
+    URLs)."""
+    from rustac_spark.textops.basic import canonical_url
+
+    rows = [
+        (1, "http://h/p:80/q"),          # path segment, keep
+        (2, "http://h:80/p:443/x"),      # authority strips, path keeps
+        (3, "https://h:443"),            # bare authority, strip
+        (4, "http://h/p?next=a:80"),     # query value, keep
+        (5, "http://h:8080/p"),          # non-default port, keep
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r["c"] for r in df.select(
+        "doc_id", canonical_url(F.col("url")).alias("c")).collect()}
+    assert got[1] == "http://h/p:80/q"
+    assert got[2] == "http://h/p:443/x"
+    assert got[3] == "https://h"
+    assert got[4] == "http://h/p?next=a:80"
+    assert got[5] == "http://h:8080/p"

@@ -92,3 +92,38 @@ def test_upsert_large_batch_flat_plan(txn):
     batch = txn.read().limit(60)
     txn.upsert_items(batch)
     assert txn.read().count() == 100  # replaced in place
+
+
+def test_upsert_null_collection_replaces_not_duplicates(spark, tmp_path):
+    """Python-side keys and the Spark delete predicate must agree for
+    NULL collections (round-4 advice: concat_ws skips NULLs, so the
+    prior version of a collection-less item was never deleted)."""
+    t = TransactionClient(spark, str(tmp_path / "nulltbl"))
+    t.add_item({
+        "type": "Feature", "id": "orphan",
+        "geometry": {"type": "Point", "coordinates": [0.0, 0.0]},
+        "properties": {"datetime": "2025-01-01T00:00:00Z",
+                       "eo:cloud_cover": 1.0}})
+    upd = (t.read().where("id = 'orphan'")
+           .withColumn("eo:cloud_cover", F.lit(9.0)))
+    t.upsert_items(upd)
+    rows = t.read().where("id = 'orphan'").collect()
+    assert len(rows) == 1                 # replaced, not duplicated
+    assert rows[0]["eo:cloud_cover"] == 9.0
+
+
+def test_batch_mixing_ints_and_floats_widens_to_double(spark, tmp_path):
+    """A POST batch whose property values mix JSON ints and floats
+    must infer DoubleType across the batch (round-4 advice: first-
+    value inference built LongType and the strict verifier rejected
+    the float row, failing the whole ingest)."""
+    t = TransactionClient(spark, str(tmp_path / "mixtbl"))
+    t.add_item_dicts([
+        {"type": "Feature", "id": f"m-{i}",
+         "collection": "c",
+         "geometry": {"type": "Point", "coordinates": [0.0, 0.0]},
+         "properties": {"datetime": "2025-01-01T00:00:00Z",
+                        "eo:cloud_cover": v}}
+        for i, v in enumerate([10, 10.5, 3])])
+    got = {r["id"]: r["eo:cloud_cover"] for r in t.read().collect()}
+    assert got == {"m-0": 10.0, "m-1": 10.5, "m-2": 3.0}
