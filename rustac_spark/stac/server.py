@@ -17,8 +17,10 @@ Serves the same route set as the reference server
 plus the Transaction extension routes backed by TransactionClient
 (crates/core/src/api/client.rs:103-122):
 
-    POST /collections                         add_collection
-    POST /collections/{cid}/items             add_item
+    POST   /collections                       add_collection
+    POST   /collections/{cid}/items           add_item
+    PUT    /collections/{cid}/items/{iid}     upsert_item (replace)
+    DELETE /collections/{cid}/items/{iid}     delete_item
 
 stdlib-only (http.server), threading so a paging client can hold a
 connection while another request lands. The serving layer is a thin
@@ -232,6 +234,24 @@ class StacApp:
         self.txn.add_item(body)
         return {"added": 1}
 
+    def put_item(self, cid: str, iid: str, body: dict) -> dict:
+        """STAC Transaction PUT: create-or-replace the item at
+        (collection, id) — path segments are authoritative over any
+        conflicting body fields, per the spec."""
+        if self.txn is None:
+            raise PermissionError("read-only server (no TransactionClient)")
+        body = dict(body)
+        body["id"] = iid
+        body["collection"] = cid
+        self.txn.upsert_item(body)
+        return {"updated": iid}
+
+    def delete_item_route(self, cid: str, iid: str) -> dict:
+        if self.txn is None:
+            raise PermissionError("read-only server (no TransactionClient)")
+        self.txn.delete_item(cid, iid)
+        return {"deleted": iid}
+
 
 def _encode_cursor(keys: list) -> str:
     """Opaque keyset token: type-tagged JSON → urlsafe base64.
@@ -349,6 +369,16 @@ class _Handler(BaseHTTPRequestHandler):
                 if parts == ["search"]:
                     return self._send(app.search(params, "GET"),
                                       ctype=_GEOJSON)
+            elif method == "PUT":
+                if (len(parts) == 4 and parts[0] == "collections"
+                        and parts[2] == "items"):
+                    return self._send(
+                        app.put_item(parts[1], parts[3], body or {}))
+            elif method == "DELETE":
+                if (len(parts) == 4 and parts[0] == "collections"
+                        and parts[2] == "items"):
+                    return self._send(
+                        app.delete_item_route(parts[1], parts[3]))
             else:  # POST
                 if parts == ["search"]:
                     return self._send(app.search(params, "POST"),
@@ -375,7 +405,7 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         self._route("GET", None)
 
-    def do_POST(self):
+    def _route_with_body(self, method: str) -> None:
         n = int(self.headers.get("Content-Length") or 0)
         try:
             body = (json.loads(self.rfile.read(n).decode("utf-8"))
@@ -384,7 +414,16 @@ class _Handler(BaseHTTPRequestHandler):
             return self._error(400, f"invalid JSON body: {e}")
         if not isinstance(body, dict):
             return self._error(400, "JSON body must be an object")
-        self._route("POST", body)
+        self._route(method, body)
+
+    def do_POST(self):
+        self._route_with_body("POST")
+
+    def do_PUT(self):
+        self._route_with_body("PUT")
+
+    def do_DELETE(self):
+        self._route("DELETE", None)
 
 
 def serve(items: DataFrame | None = None, txn=None,

@@ -58,6 +58,13 @@ class TransactionClient:
         self.spark = spark
         self.table = SnapshotTable(spark, table_dir)
         self._collections_meta = f"{table_dir}/_meta/collections.json"
+        # collections() memo: (snapshot_id, registered-json) → result.
+        # The snapshot id IS the invalidation key — every item write
+        # commits a new snapshot, and registration changes alter the
+        # meta JSON — so GET /collections stops re-aggregating the
+        # full item table on every listing request (at 10^12 rows
+        # that is a full-table scan per page load).
+        self._collections_cache: tuple | None = None
 
     # ------------------------------------------------------- reading
 
@@ -73,16 +80,26 @@ class TransactionClient:
         a registered-but-empty collection appears with a null extent;
         an unregistered collection that has items still appears
         (derived), matching the reference's item-table-driven
-        listing."""
+        listing. The derived list is memoized per snapshot id (plus
+        the registration JSON), so repeated listings between commits
+        run ZERO Spark jobs."""
+        reg = self._registered()
+        key = (self.table.current_snapshot_id(),
+               json.dumps(reg, sort_keys=True))
+        if (self._collections_cache is not None
+                and self._collections_cache[0] == key):
+            return self._collections_cache[1]
         derived = {c["id"]: c for c in derive_collections(self.read())}
         out = dict(derived)
-        for cid, meta in self._registered().items():
+        for cid, meta in reg.items():
             if cid in out:
                 out[cid] = {**meta, **out[cid],
                             "description": meta.get("description")}
             else:
                 out[cid] = meta
-        return sorted(out.values(), key=lambda c: c["id"])
+        result = sorted(out.values(), key=lambda c: c["id"])
+        self._collections_cache = (key, result)
+        return result
 
     # ------------------------------------------------------- writing
 
@@ -114,6 +131,8 @@ class TransactionClient:
         The delete predicate is ONE isin over composite keys (Catalyst
         InSet — flat hash lookup), not a chained OR: a 10k-item batch
         stays an O(1)-depth plan."""
+        if self.table.current_snapshot_id() is None:
+            return self.table.create(items)  # PUT on an empty table
         aligned = _align(items, self.read())
         sep = "\x1f"  # cannot appear in STAC ids/collection ids
         # NULL collections must key identically on both sides:
@@ -127,6 +146,11 @@ class TransactionClient:
                      F.lit(sep), F.col("id"))
             .isin(keys))
         return self.table.append(aligned)
+
+    def upsert_item(self, item: dict) -> int:
+        """Single STAC item dict create-or-replace — the PUT
+        /collections/{cid}/items/{iid} route's engine call."""
+        return self.upsert_items(self._items_df([item]))
 
     def delete_item(self, collection_id: str, item_id: str) -> int:
         return self.table.delete_where(

@@ -231,3 +231,60 @@ def test_keyset_short_cursor_400(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(f"{server}/search?sortby=-datetime&cursor={tok}")
     assert e.value.code == 400
+
+
+def _req(url, method, body=None):
+    req = urllib.request.Request(
+        url, data=json.dumps(body).encode() if body is not None else None,
+        headers={"Content-Type": "application/json"}, method=method)
+    with urllib.request.urlopen(req, timeout=10) as r:
+        return r.status, json.loads(r.read().decode())
+
+
+def test_put_delete_item_roundtrip(spark, stac_items, tmp_path):
+    """STAC Transaction PUT/DELETE: add → PUT update → search sees
+    the update (replaced, not duplicated) → DELETE → 404."""
+    from rustac_spark.stac.transactions import TransactionClient
+    txn = TransactionClient(spark, str(tmp_path / "tblput"))
+    txn.add_items(stac_items)
+    srv, base = serve(txn=txn, background=True)
+    try:
+        st, out = _post(
+            f"{base}/collections/collection-a/items",
+            {"type": "Feature", "id": "item-p1",
+             "geometry": {"type": "Point", "coordinates": [3.0, 4.0]},
+             "properties": {"datetime": "2025-06-01T00:00:00Z",
+                            "eo:cloud_cover": 5.0}})
+        assert st == 201
+        # PUT replaces — path segments authoritative over body ids
+        st, out = _req(
+            f"{base}/collections/collection-a/items/item-p1", "PUT",
+            {"type": "Feature", "id": "ignored-body-id",
+             "geometry": {"type": "Point", "coordinates": [5.0, 6.0]},
+             "properties": {"datetime": "2025-06-02T00:00:00Z",
+                            "eo:cloud_cover": 55.0}})
+        assert st == 200 and out["updated"] == "item-p1"
+        st, fc = _get(f"{base}/search?ids=item-p1")
+        assert fc["numberMatched"] == 1          # replaced, not added
+        f = fc["features"][0]
+        assert f["properties"]["eo:cloud_cover"] == 55.0
+        assert f["bbox"] == [5.0, 6.0, 5.0, 6.0]
+        # DELETE → subsequent GET of the item is a 404
+        st, out = _req(
+            f"{base}/collections/collection-a/items/item-p1", "DELETE")
+        assert st == 200 and out["deleted"] == "item-p1"
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(f"{base}/collections/collection-a/items/item-p1")
+        assert e.value.code == 404
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_put_delete_rejected_on_read_only_server(server):
+    import urllib.error
+    for method in ("PUT", "DELETE"):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _req(f"{server}/collections/collection-a/items/item-0000",
+                 method, {} if method == "PUT" else None)
+        assert e.value.code == 405

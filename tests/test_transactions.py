@@ -127,3 +127,27 @@ def test_batch_mixing_ints_and_floats_widens_to_double(spark, tmp_path):
         for i, v in enumerate([10, 10.5, 3])])
     got = {r["id"]: r["eo:cloud_cover"] for r in t.read().collect()}
     assert got == {"m-0": 10.0, "m-1": 10.5, "m-2": 3.0}
+
+
+def test_collections_memoized_per_snapshot(spark, txn):
+    """A second collections() listing between commits must run ZERO
+    Spark jobs (round-4 verdict #4: GET /collections was a full
+    item-table aggregation per request); any write invalidates."""
+    first = txn.collections()
+    sc = spark.sparkContext
+    sc.setJobGroup("colls-cache-probe", "probe")
+    try:
+        second = txn.collections()
+    finally:
+        sc.setJobGroup(None, None)
+    assert sc.statusTracker().getJobIdsForGroup("colls-cache-probe") == []
+    assert second == first
+    # a commit invalidates: the new item shows up in a fresh listing
+    txn.add_item({
+        "type": "Feature", "id": "item-cache", "collection": "c-cache",
+        "geometry": {"type": "Point", "coordinates": [9.0, 9.0]},
+        "properties": {"datetime": "2025-03-01T00:00:00Z"}})
+    assert "c-cache" in {c["id"] for c in txn.collections()}
+    # registration alone (no snapshot change) also invalidates
+    txn.add_collection({"id": "c-reg", "description": "meta only"})
+    assert "c-reg" in {c["id"] for c in txn.collections()}
