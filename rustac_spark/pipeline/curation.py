@@ -32,9 +32,17 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, run_dir: str,
                   id_col: str = "doc_id", text_col: str = "text",
                   near_dup_threshold: float = 0.5,
                   chunk_size: int = 256, chunk_overlap: int = 32,
+                  input_rows: int | None = None,
                   ) -> tuple[DataFrame, dict]:
     """Run the five-stage curation pipeline; returns (chunks, report).
-    `report` maps stage → {rows, wall_s} from the commit markers."""
+    `report` maps stage → {rows, dropped, wall_s} from the commit
+    markers: `dropped` is the row delta vs the previous committed
+    stage (dead-letter visibility — a 100 TB operator must see WHERE
+    the corpus went, not just what survived). The quality stage's
+    input is not a committed stage, so its `dropped` needs
+    ``input_rows`` (pass ``docs.count()`` if you want it; left None
+    otherwise — the pipeline itself never adds a count() job). The
+    chunks stage EXPANDS rows, so its dropped is pinned 0."""
     from ..textops.basic import (chunk_tokens, exact_dedup_groups,
                                  with_pii_scrub)
     from ..textops.cluster import connected_components, dedup_retain
@@ -103,8 +111,17 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, run_dir: str,
             id_col=id_col, text_col=text_col)
     out = pipe.stage("chunks", chunks)
 
-    report = {s: {"rows": pipe.committed_info(s)["rows"],
-                  "wall_s": round(pipe.committed_info(s)["wall_s"], 3)}
-              for s in ("quality", "exact_dedup", "near_dedup",
-                        "pii", "chunks")}
+    report: dict = {}
+    prev = input_rows
+    for s in ("quality", "exact_dedup", "near_dedup", "pii", "chunks"):
+        info = pipe.committed_info(s)
+        if s == "chunks":          # row-expanding stage, nothing dropped
+            dropped = 0
+        elif prev is None:
+            dropped = None         # quality with uncounted input
+        else:
+            dropped = prev - info["rows"]
+        report[s] = {"rows": info["rows"], "dropped": dropped,
+                     "wall_s": round(info["wall_s"], 3)}
+        prev = info["rows"]
     return out, report

@@ -80,3 +80,33 @@ def test_curate_corpus_custom_id_col(spark, tmp_path):
                                 id_col="url")
     assert report["near_dedup"]["rows"] <= report["exact_dedup"]["rows"]
     assert "url" in out.columns and out.count() > 0
+
+
+def test_curate_corpus_report_dropped_counts(spark, tmp_path):
+    """Dead-letter visibility: every stage reports how many rows it
+    dropped (delta vs previous committed stage, no extra count jobs).
+    quality's input isn't a committed stage, so its dropped needs
+    input_rows; chunks expands rows so its dropped is pinned 0."""
+    docs = _corpus(spark)
+    n_in = docs.count()
+    out, report = curate_corpus(spark, docs, str(tmp_path / "run"),
+                                near_dup_threshold=0.5,
+                                chunk_size=40, chunk_overlap=8,
+                                input_rows=n_in)
+    assert set(report["quality"]) == {"rows", "dropped", "wall_s"}
+    assert report["quality"]["dropped"] == n_in - report["quality"]["rows"]
+    assert report["exact_dedup"]["dropped"] == (
+        report["quality"]["rows"] - report["exact_dedup"]["rows"])
+    # the planted exact duplicate guarantees at least one drop here
+    assert report["exact_dedup"]["dropped"] >= 1
+    assert report["near_dedup"]["dropped"] == (
+        report["exact_dedup"]["rows"] - report["near_dedup"]["rows"])
+    assert report["pii"]["dropped"] == 0      # narrow map, never drops
+    assert report["chunks"]["dropped"] == 0   # row-expanding stage
+    # without input_rows, quality's dropped is None (documented) and
+    # the pipeline itself never adds a count() job
+    _, r2 = curate_corpus(spark, docs, str(tmp_path / "run2"),
+                          near_dup_threshold=0.5,
+                          chunk_size=40, chunk_overlap=8)
+    assert r2["quality"]["dropped"] is None
+    assert r2["exact_dedup"]["dropped"] == report["exact_dedup"]["dropped"]
