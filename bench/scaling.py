@@ -79,7 +79,11 @@ def main() -> None:
         if stale:
             print(f"# ignoring {len(stale)} stale local[{cpus}] runs "
                   f"(different rev/input)", file=sys.stderr)
-        runs[cpus] = have[:n_runs]
+        # use ALL comparable prior runs (best counted): host steal
+        # varies by tens of percent across minutes-scale windows, so
+        # the best over many windows converges on engine cost; only
+        # top up with new invocations when below n_runs
+        runs[cpus] = list(have)
         for i in range(len(runs[cpus]), n_runs):
             r = run_bench(sf_dir, cpus)
             r["rev"], r["sf_dir"] = rev, sf_dir

@@ -18,6 +18,8 @@ plus the Transaction extension routes backed by TransactionClient
 (crates/core/src/api/client.rs:103-122):
 
     POST   /collections                       add_collection
+    PUT    /collections/{cid}                 update_collection
+    DELETE /collections/{cid}                 delete_collection
     POST   /collections/{cid}/items           add_item
     PUT    /collections/{cid}/items/{iid}     upsert_item (replace)
     DELETE /collections/{cid}/items/{iid}     delete_item
@@ -234,6 +236,22 @@ class StacApp:
         self.txn.add_item(body)
         return {"added": 1}
 
+    def put_collection(self, cid: str, body: dict) -> dict:
+        """PUT /collections/{cid}: create-or-replace the registered
+        collection document (path id authoritative)."""
+        if self.txn is None:
+            raise PermissionError("read-only server (no TransactionClient)")
+        body = dict(body)
+        body["id"] = cid
+        self.txn.update_collection(body)
+        return {"updated": cid}
+
+    def delete_collection_route(self, cid: str) -> dict:
+        if self.txn is None:
+            raise PermissionError("read-only server (no TransactionClient)")
+        self.txn.delete_collection(cid)
+        return {"deleted": cid}
+
     def put_item(self, cid: str, iid: str, body: dict) -> dict:
         """STAC Transaction PUT: create-or-replace the item at
         (collection, id) — path segments are authoritative over any
@@ -374,11 +392,17 @@ class _Handler(BaseHTTPRequestHandler):
                         and parts[2] == "items"):
                     return self._send(
                         app.put_item(parts[1], parts[3], body or {}))
+                if len(parts) == 2 and parts[0] == "collections":
+                    return self._send(
+                        app.put_collection(parts[1], body or {}))
             elif method == "DELETE":
                 if (len(parts) == 4 and parts[0] == "collections"
                         and parts[2] == "items"):
                     return self._send(
                         app.delete_item_route(parts[1], parts[3]))
+                if len(parts) == 2 and parts[0] == "collections":
+                    return self._send(
+                        app.delete_collection_route(parts[1]))
             else:  # POST
                 if parts == ["search"]:
                     return self._send(app.search(params, "POST"),

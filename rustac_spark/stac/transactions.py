@@ -163,6 +163,27 @@ class TransactionClient:
         listing time."""
         reg = self._registered()
         reg[collection["id"]] = {"type": "Collection", **collection}
+        self._write_registered(reg)
+
+    def update_collection(self, collection: dict) -> None:
+        """Replace registered collection metadata (PUT
+        /collections/{cid}) — create-or-replace, same registration
+        store as add_collection; derived extents are unaffected."""
+        self.add_collection(collection)
+
+    def delete_collection(self, collection_id: str) -> None:
+        """DELETE /collections/{cid}: drop the registration AND the
+        collection's items (one file-granular COW delete commit) —
+        a collection listing afterwards shows neither registered nor
+        derived metadata for it."""
+        reg = self._registered()
+        reg.pop(collection_id, None)
+        self._write_registered(reg)
+        if self.table.current_snapshot_id() is not None:
+            self.table.delete_where(
+                F.col("collection") == collection_id)
+
+    def _write_registered(self, reg: dict) -> None:
         d = os.path.dirname(self._collections_meta)
         os.makedirs(d, exist_ok=True)
         tmp = f"{self._collections_meta}.tmp"

@@ -248,3 +248,29 @@ def test_knn_polar_fallback_scan_pushes_lat_band(spark, tmp_path):
              for r in knn_bruteforce(pages, q, k=5).collect()}
     got = {(r["query_id"], r["rank"], r["url"]) for r in out.collect()}
     assert got == exact
+
+
+def test_canonical_url_dedup_no_python_single_shuffle_pair(spark):
+    """canonical_url is a pure-Column regexp chain and the keep-min
+    dedup is one map-side-combined groupBy + one semi join — zero
+    Python anywhere in the plan."""
+    from rustac_spark.textops.basic import dedup_by_canonical_url
+    df = spark.range(100).select(
+        F.concat(F.lit("https://h/p"), F.col("id").cast("string"))
+        .alias("url"))
+    plan = _physical(dedup_by_canonical_url(df))
+    assert "Python" not in plan and "mapInPandas" not in plan
+    assert "partial_min" in plan            # map-side-combined min
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "LeftSemi" in plan
+
+
+def test_dup_span_fraction_no_python(spark):
+    """Span detection + interval-merge coverage is windows and
+    groupBys over hashed 8-byte keys — zero Python."""
+    from rustac_spark.textops.ngram import with_dup_span_fraction
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.lit("a b c d e f g h i j k l").alias("text"))
+    plan = _physical(with_dup_span_fraction(df, n=10))
+    assert "Python" not in plan and "mapInPandas" not in plan

@@ -288,3 +288,32 @@ def test_put_delete_rejected_on_read_only_server(server):
             _req(f"{server}/collections/collection-a/items/item-0000",
                  method, {} if method == "PUT" else None)
         assert e.value.code == 405
+
+
+def test_put_delete_collection_roundtrip(spark, stac_items, tmp_path):
+    """Collection-level transaction routes: PUT replaces registered
+    metadata (path id authoritative); DELETE drops registration AND
+    the collection's items."""
+    from rustac_spark.stac.transactions import TransactionClient
+    txn = TransactionClient(spark, str(tmp_path / "tblcoll"))
+    txn.add_items(stac_items)
+    srv, base = serve(txn=txn, background=True)
+    try:
+        st, _ = _post(f"{base}/collections",
+                      {"id": "c-meta", "description": "v1"})
+        assert st == 201
+        st, out = _req(f"{base}/collections/c-meta", "PUT",
+                       {"id": "ignored", "description": "v2"})
+        assert st == 200 and out["updated"] == "c-meta"
+        st, c = _get(f"{base}/collections/c-meta")
+        assert c["description"] == "v2"
+        # DELETE an item-bearing collection: items go too
+        st, out = _req(f"{base}/collections/collection-a", "DELETE")
+        assert st == 200 and out["deleted"] == "collection-a"
+        st, colls = _get(f"{base}/collections")
+        assert "collection-a" not in [c["id"] for c in colls["collections"]]
+        st, fc = _get(f"{base}/search?collections=collection-a")
+        assert fc["numberMatched"] == 0
+    finally:
+        srv.shutdown()
+        srv.server_close()

@@ -151,3 +151,22 @@ def test_collections_memoized_per_snapshot(spark, txn):
     # registration alone (no snapshot change) also invalidates
     txn.add_collection({"id": "c-reg", "description": "meta only"})
     assert "c-reg" in {c["id"] for c in txn.collections()}
+
+
+def test_update_and_delete_collection(spark, txn):
+    txn.add_collection({"id": "c-up", "description": "first"})
+    txn.update_collection({"id": "c-up", "description": "second"})
+    cols = {c["id"]: c for c in txn.collections()}
+    assert cols["c-up"]["description"] == "second"
+    # delete a derived (item-bearing) collection: registration gone,
+    # items deleted in one COW commit, listing shows neither
+    n_before = txn.read().count()
+    n_a = txn.read().where("collection = 'collection-a'").count()
+    assert n_a > 0
+    txn.delete_collection("collection-a")
+    assert txn.read().count() == n_before - n_a
+    assert "collection-a" not in {c["id"] for c in txn.collections()}
+    # deleting a registration-only collection touches no items
+    txn.delete_collection("c-up")
+    assert txn.read().count() == n_before - n_a
+    assert "c-up" not in {c["id"] for c in txn.collections()}
