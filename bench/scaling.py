@@ -22,6 +22,8 @@ Usage: python bench/scaling.py [sf_dir]   (run EXCLUSIVELY)
 
 from __future__ import annotations
 
+import glob
+import hashlib
 import json
 import os
 import subprocess
@@ -30,13 +32,29 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def bench_src_hash() -> str:
+    """Content hash of every source that can affect a bench number
+    (bench.py + the engine package). Runs are comparable iff this
+    matches — a docs/tests/collector commit must NOT discard
+    accumulated legs, while any engine edit must."""
+    h = hashlib.sha256()
+    paths = [f"{REPO}/bench.py"] + sorted(
+        glob.glob(f"{REPO}/rustac_spark/**/*.py", recursive=True))
+    for p in paths:
+        with open(p, "rb") as f:
+            h.update(p.encode())
+            h.update(f.read())
+    return h.hexdigest()[:12]
+
+
 def run_bench(sf_dir: str, cpus: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
                SPARK_GRAFT_CPUS=str(cpus))
     # scaling compares levels against each other; 3 in-invocation
-    # passes keep a low-N leg from taking tens of minutes while the
-    # per-stage-minimum composition still rides out isolated stalls
-    env.setdefault("RUSTAC_BENCH_PASSES", "3")
+    # passes keep a low-N leg from taking tens of minutes, while the
+    # high-N legs — cheap per pass and the ones steal hits hardest —
+    # take 5 so the per-stage-minimum composition sees more windows
+    env.setdefault("RUSTAC_BENCH_PASSES", "3" if cpus <= 4 else "5")
     out = subprocess.run(
         [sys.executable, f"{REPO}/bench.py"], env=env,
         capture_output=True, text=True, check=True)
@@ -60,6 +78,7 @@ def main() -> None:
     rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
                          cwd=REPO, capture_output=True,
                          text=True).stdout.strip()
+    src = bench_src_hash()
     prior: list[dict] = []
     if os.environ.get("RUSTAC_SCALE_RESUME") and os.path.exists(runs_path):
         with open(runs_path) as f:
@@ -68,11 +87,13 @@ def main() -> None:
     runs: dict[int, list[dict]] = {}
     for cpus in levels:
         # a resumed leg is only comparable if it measured the SAME
-        # input at the SAME source revision — mixing legs across
-        # edits is exactly the bench-taint failure mode the commit-
-        # before-benching protocol exists for
+        # input with the SAME bench-relevant sources — mixing legs
+        # across engine edits is exactly the bench-taint failure mode
+        # the commit-before-benching protocol exists for (src content
+        # hash; older runs recorded only the git rev and match on it)
         have = [r for r in prior
-                if r.get("cpus") == cpus and r.get("rev") == rev
+                if r.get("cpus") == cpus
+                and r.get("src", r.get("rev")) in (src, rev)
                 and r.get("sf_dir") == sf_dir]
         stale = [r for r in prior if r.get("cpus") == cpus
                  and r not in have]
@@ -86,7 +107,7 @@ def main() -> None:
         runs[cpus] = list(have)
         for i in range(len(runs[cpus]), n_runs):
             r = run_bench(sf_dir, cpus)
-            r["rev"], r["sf_dir"] = rev, sf_dir
+            r["rev"], r["src"], r["sf_dir"] = rev, src, sf_dir
             if os.environ.get("RUSTAC_SCALE_RESUME"):
                 with open(runs_path, "a") as f:
                     f.write(json.dumps(r) + "\n")
