@@ -150,6 +150,7 @@ def spatial_join(pages: DataFrame, queries: DataFrame,
                  page_cols: list[str] | None = None,
                  subdivide_threshold: int | None = None,
                  has_polygons: bool | None = None,
+                 compile_polygons: bool = True,
                  grid=default_grid) -> DataFrame:
     """pages ⋈_ST_Intersects queries → (query_id, kind, *page_cols).
 
@@ -157,9 +158,17 @@ def spatial_join(pages: DataFrame, queries: DataFrame,
     (from geocode.with_geocode); queries carry QUERY_COLS.
 
     If the query set contains no polygons the whole join is pure
-    Column math (zero Python). With polygons, one Arrow-batched refine
-    pass runs over the (output-sized) candidate stream — the pages
-    scan still happens exactly once.
+    Column math (zero Python). With polygons and a broadcast query
+    side, small polygon geometries (≤ colgeom.DEFAULT_VERTEX_BUDGET
+    vertices each — the common search contract) are COMPILED into the
+    exact residual predicate as a Column expression (colgeom.py), so
+    the whole join stays inside WholeStageCodegen: no Arrow transfer
+    of the candidate stream, no Python workers, and the join scales
+    with cores instead of plateauing on the Python stage. Geometries
+    past the budget — or ``compile_polygons=False`` — run the
+    Arrow-batched numpy refine over the (output-sized) candidate
+    stream; either way the pages scan happens exactly once, and both
+    paths accept bit-identical candidate sets (tests/test_colgeom.py).
 
     has_polygons: pass True/False to skip the small plan-time probe of
     the query side (a `.limit(1).count()` on the queries table). The
@@ -236,7 +245,18 @@ def spatial_join(pages: DataFrame, queries: DataFrame,
               .where(_rect_overlap())
               .where(_reference_point_dedup(res, hot, grid)))
     if has_polygons:
-        joined = _mixed_refine(joined, pieces_by_qid, inner_by_qid)
+        refined = None
+        if compile_polygons and pieces_by_qid is not None:
+            from .colgeom import compile_refine_predicate
+            refined = compile_refine_predicate(
+                pieces_by_qid, inner_by_qid,
+                F.col("query_id"), F.col("kind"),
+                F.col("xmin"), F.col("ymin"),
+                F.col("xmax"), F.col("ymax"))
+        if refined is not None:
+            joined = joined.where(refined)
+        else:
+            joined = _mixed_refine(joined, pieces_by_qid, inner_by_qid)
     out_cols = ["query_id", "kind"] + page_cols
     return joined.select(*out_cols)
 

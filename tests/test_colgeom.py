@@ -1,0 +1,127 @@
+"""Column-compiled polygon refine (geo/colgeom.py): bit-equality vs
+the numpy kernels, spatial_join path equivalence, budget fallback, and
+the zero-Python plan shape the compilation exists for."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rustac_spark import DATA_DIR
+from rustac_spark.geo.colgeom import (DEFAULT_VERTEX_BUDGET,
+                                      compile_pieces_predicate,
+                                      compile_refine_predicate)
+from rustac_spark.geo.join import spatial_join
+from rustac_spark.geo.predicates import rects_intersect_pieces
+from rustac_spark.geocode import with_geocode
+
+RNG = np.random.default_rng(1234)
+
+IRREGULAR = [("poly", [np.array(
+    [(0.0, 0.0), (4.0, -1.0), (7.0, 2.0), (6.0, 5.5), (3.0, 7.0),
+     (-1.0, 4.0), (-2.0, 1.5), (0.0, 0.0)])])]
+WITH_HOLE = [("poly", [
+    np.array([(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0),
+              (0.0, 0.0)]),
+    np.array([(3.0, 3.0), (7.0, 3.0), (7.0, 7.0), (3.0, 7.0),
+              (3.0, 3.0)])])]
+MULTI = [("poly", [np.array([(0.0, 0.0), (2.0, 0.0), (1.0, 2.0),
+                             (0.0, 0.0)])]),
+         ("poly", [np.array([(5.0, 5.0), (8.0, 5.0), (8.0, 8.0),
+                             (5.0, 8.0), (5.0, 5.0)])])]
+LINE = [("line", np.array([(0.0, 0.0), (3.0, 3.0), (6.0, 1.0)]))]
+POINT = [("point", (2.5, 2.5))]
+RECTILINEAR = [("poly", [np.array(  # axis-parallel edges: p == 0 paths
+    [(0.0, 0.0), (6.0, 0.0), (6.0, 3.0), (3.0, 3.0), (3.0, 6.0),
+     (0.0, 6.0), (0.0, 0.0)])])]
+
+GEOMS = [IRREGULAR, WITH_HOLE, MULTI, LINE, POINT, RECTILINEAR]
+
+
+def _random_rects(n=400):
+    """Rect soup crossing every regime: interior, containing,
+    touching-at-boundary, degenerate (zero-area), far away."""
+    cx = RNG.uniform(-4, 12, n)
+    cy = RNG.uniform(-4, 12, n)
+    w = RNG.choice([0.0, 0.1, 0.5, 2.0, 15.0], n) * RNG.uniform(0.5, 1, n)
+    h = RNG.choice([0.0, 0.1, 0.5, 2.0, 15.0], n) * RNG.uniform(0.5, 1, n)
+    rx0, rx1 = cx - w / 2, cx + w / 2
+    ry0, ry1 = cy - h / 2, cy + h / 2
+    # exact-boundary cases: rects whose edge lies on a polygon vertex
+    extra = np.array([[0.0, 0.0, 1.0, 1.0], [-3.0, -3.0, 0.0, 0.0],
+                      [3.0, 3.0, 7.0, 7.0], [4.0, 4.0, 6.0, 6.0],
+                      [2.5, 2.5, 2.5, 2.5], [10.0, 10.0, 12.0, 12.0]])
+    rx0 = np.concatenate([rx0, extra[:, 0]])
+    ry0 = np.concatenate([ry0, extra[:, 1]])
+    rx1 = np.concatenate([rx1, extra[:, 2]])
+    ry1 = np.concatenate([ry1, extra[:, 3]])
+    return rx0, ry0, rx1, ry1
+
+
+@pytest.fixture(scope="module")
+def rects_df(spark):
+    rx0, ry0, rx1, ry1 = _random_rects()
+    rows = [(int(i), float(a), float(b), float(c), float(d))
+            for i, (a, b, c, d) in enumerate(zip(rx0, ry0, rx1, ry1))]
+    df = spark.createDataFrame(
+        rows, "rid int, xmin double, ymin double, xmax double, ymax double")
+    df.cache().count()
+    return df, (rx0, ry0, rx1, ry1)
+
+
+@pytest.mark.parametrize("gi", range(len(GEOMS)))
+def test_compiled_predicate_bit_equals_numpy_kernel(rects_df, gi):
+    df, (rx0, ry0, rx1, ry1) = rects_df
+    pieces = GEOMS[gi]
+    expected = rects_intersect_pieces(rx0, ry0, rx1, ry1, pieces)
+    expr = compile_pieces_predicate(
+        pieces, F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"))
+    assert expr is not None
+    got_rows = (df.withColumn("hit", expr)
+                .orderBy("rid").select("hit").collect())
+    got = np.array([r["hit"] for r in got_rows])
+    assert np.array_equal(got, expected)
+
+
+def test_vertex_budget_returns_none():
+    big_ring = np.column_stack([
+        np.cos(np.linspace(0, 2 * np.pi, DEFAULT_VERTEX_BUDGET + 10)),
+        np.sin(np.linspace(0, 2 * np.pi, DEFAULT_VERTEX_BUDGET + 10))])
+    assert compile_pieces_predicate(
+        [("poly", [big_ring])], F.lit(0.0), F.lit(0.0),
+        F.lit(1.0), F.lit(1.0)) is None
+    # refine compile is all-or-nothing: one over-budget query kills it
+    assert compile_refine_predicate(
+        {1: IRREGULAR, 2: [("poly", [big_ring])]}, None,
+        F.lit(1), F.lit("polygon"), F.lit(0.0), F.lit(0.0),
+        F.lit(1.0), F.lit(1.0)) is None
+
+
+@pytest.fixture(scope="module")
+def pages_geo(spark):
+    df = with_geocode(
+        spark.read.parquet(f"{DATA_DIR}/pages_sf0.001.parquet")
+    ).drop("html", "text")
+    df.cache().count()
+    return df
+
+
+def test_join_compiled_equals_arrow_path(spark, pages_geo, queries_df):
+    compiled = spatial_join(pages_geo, queries_df, page_cols=["url"],
+                            compile_polygons=True)
+    arrow = spatial_join(pages_geo, queries_df, page_cols=["url"],
+                         compile_polygons=False)
+    a = sorted(map(tuple, compiled.collect()))
+    b = sorted(map(tuple, arrow.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_compiled_join_plan_has_no_python_stage(spark, pages_geo,
+                                                queries_df):
+    compiled = spatial_join(pages_geo, queries_df, page_cols=["url"])
+    plan = compiled._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "Python" not in plan
+    assert "BroadcastHashJoin" in plan
+    arrow = spatial_join(pages_geo, queries_df, page_cols=["url"],
+                         compile_polygons=False)
+    assert "MapInPandas" in (
+        arrow._jdf.queryExecution().executedPlan().toString())
