@@ -150,7 +150,7 @@ def spatial_join(pages: DataFrame, queries: DataFrame,
                  page_cols: list[str] | None = None,
                  subdivide_threshold: int | None = None,
                  has_polygons: bool | None = None,
-                 compile_polygons: bool = True,
+                 compile_polygons: bool = False,
                  grid=default_grid) -> DataFrame:
     """pages ⋈_ST_Intersects queries → (query_id, kind, *page_cols).
 
@@ -158,17 +158,21 @@ def spatial_join(pages: DataFrame, queries: DataFrame,
     (from geocode.with_geocode); queries carry QUERY_COLS.
 
     If the query set contains no polygons the whole join is pure
-    Column math (zero Python). With polygons and a broadcast query
-    side, small polygon geometries (≤ colgeom.DEFAULT_VERTEX_BUDGET
-    vertices each — the common search contract) are COMPILED into the
-    exact residual predicate as a Column expression (colgeom.py), so
-    the whole join stays inside WholeStageCodegen: no Arrow transfer
-    of the candidate stream, no Python workers, and the join scales
-    with cores instead of plateauing on the Python stage. Geometries
-    past the budget — or ``compile_polygons=False`` — run the
-    Arrow-batched numpy refine over the (output-sized) candidate
-    stream; either way the pages scan happens exactly once, and both
-    paths accept bit-identical candidate sets (tests/test_colgeom.py).
+    Column math (zero Python). With polygons, the DEFAULT residual is
+    the Arrow-batched numpy refine over the (output-sized) candidate
+    stream — with a broadcast query side it carries no per-row WKB
+    and interior candidates take the inscribed-rect accept, so the
+    Python stage touches only boundary candidates' math.
+    ``compile_polygons=True`` instead COMPILES in-budget geometries
+    into the exact residual predicate as a Column expression
+    (colgeom.py, ear-clip + separating-axis), falling back to Arrow
+    past the budgets. Both paths accept identical candidate sets
+    outside the kernels' 1e-12 on-edge shell (tests/test_colgeom.py).
+    The compiled path is OPT-IN after measurement on this host: it
+    wins nothing at 8 threads and anti-scales at 16 (26.7 s vs the
+    Arrow path's 9.2 s on the sf0.4 probe set — see colgeom.py's
+    module docstring for the full codegen story); revisit on a real
+    multi-executor cluster where Python workers get their own cores.
 
     has_polygons: pass True/False to skip the small plan-time probe of
     the query side (a `.limit(1).count()` on the queries table). The

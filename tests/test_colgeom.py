@@ -1,6 +1,9 @@
-"""Column-compiled polygon refine (geo/colgeom.py): bit-equality vs
-the numpy kernels, spatial_join path equivalence, budget fallback, and
-the zero-Python plan shape the compilation exists for."""
+"""Column-compiled polygon refine (geo/colgeom.py): accept-set
+equality vs the numpy kernels (exact closed-set SAT — identical
+outside the kernels' 1e-12 on-edge shell, which random + exact-
+boundary soups never probe), spatial_join path equivalence, budget
+fallback, ear-clip triangulation, and the zero-Python plan shape the
+compilation exists for."""
 
 import numpy as np
 import pytest
@@ -73,16 +76,18 @@ def test_compiled_predicate_bit_equals_numpy_kernel(rects_df, gi):
     df, (rx0, ry0, rx1, ry1) = rects_df
     pieces = GEOMS[gi]
     expected = rects_intersect_pieces(rx0, ry0, rx1, ry1, pieces)
-    expr = compile_pieces_predicate(
+    compiled = compile_pieces_predicate(
         pieces, F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"))
-    assert expr is not None
+    assert compiled is not None
+    expr, nodes = compiled
+    assert nodes > 0
     got_rows = (df.withColumn("hit", expr)
                 .orderBy("rid").select("hit").collect())
     got = np.array([r["hit"] for r in got_rows])
     assert np.array_equal(got, expected)
 
 
-def test_vertex_budget_returns_none():
+def test_vertex_budget_returns_none(spark):
     big_ring = np.column_stack([
         np.cos(np.linspace(0, 2 * np.pi, DEFAULT_VERTEX_BUDGET + 10)),
         np.sin(np.linspace(0, 2 * np.pi, DEFAULT_VERTEX_BUDGET + 10))])
@@ -94,6 +99,28 @@ def test_vertex_budget_returns_none():
         {1: IRREGULAR, 2: [("poly", [big_ring])]}, None,
         F.lit(1), F.lit("polygon"), F.lit(0.0), F.lit(0.0),
         F.lit(1.0), F.lit(1.0)) is None
+
+
+def test_node_budget_returns_none(spark):
+    # many in-budget queries can still exceed the generated-code cap
+    many = {q: IRREGULAR for q in range(200)}
+    assert compile_refine_predicate(
+        many, None, F.lit(1), F.lit("polygon"), F.lit(0.0),
+        F.lit(0.0), F.lit(1.0), F.lit(1.0)) is None
+
+
+def test_ear_clip_partitions_polygon():
+    from rustac_spark.geo.colgeom import ear_clip
+    ring = np.array([(0.0, 0.0), (6.0, 0.0), (6.0, 3.0), (3.0, 3.0),
+                     (3.0, 6.0), (0.0, 6.0)])  # reflex L-shape
+    tris = ear_clip(ring)
+    assert tris is not None and len(tris) == 4  # n-2 triangles
+    area = sum(abs((b[0] - a[0]) * (c[1] - a[1])
+                   - (b[1] - a[1]) * (c[0] - a[0])) / 2
+               for a, b, c in tris)
+    assert abs(area - 27.0) < 1e-9  # tiles the L exactly
+    # degenerate ring -> fallback
+    assert ear_clip(np.array([(0.0, 0.0), (1.0, 1.0)])) is None
 
 
 @pytest.fixture(scope="module")
@@ -117,11 +144,17 @@ def test_join_compiled_equals_arrow_path(spark, pages_geo, queries_df):
 
 def test_compiled_join_plan_has_no_python_stage(spark, pages_geo,
                                                 queries_df):
-    compiled = spatial_join(pages_geo, queries_df, page_cols=["url"])
+    compiled = spatial_join(pages_geo, queries_df, page_cols=["url"],
+                            compile_polygons=True)
     plan = compiled._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan and "Python" not in plan
     assert "BroadcastHashJoin" in plan
-    arrow = spatial_join(pages_geo, queries_df, page_cols=["url"],
-                         compile_polygons=False)
+    # the compiled predicate must stay a standalone Filter (NOT get
+    # merged into the join condition, where its size breaks codegen
+    # for the whole stage) — locked by the join line staying small
+    bhj = [l for l in plan.splitlines() if "BroadcastHashJoin" in l][0]
+    assert "CASE WHEN" not in bhj
+    # default path is the Arrow refine (measured faster on this host)
+    default = spatial_join(pages_geo, queries_df, page_cols=["url"])
     assert "MapInPandas" in (
-        arrow._jdf.queryExecution().executedPlan().toString())
+        default._jdf.queryExecution().executedPlan().toString())
