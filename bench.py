@@ -36,11 +36,11 @@ from rustac_spark import DATA_DIR
 from rustac_spark.session import get_spark
 
 SF_ROWS = {"sf0.001": 10_000, "sf0.01": 100_000, "sf0.1": 1_000_000,
-           "sf0.4": 4_000_000}
+           "sf0.4": 4_000_000, "sf1.0": 10_000_000}
 
 
 def sf_of(sf_dir: str) -> str:
-    for sf in ("sf0.001", "sf0.01", "sf0.4", "sf0.1"):
+    for sf in ("sf0.001", "sf0.01", "sf0.4", "sf1.0", "sf0.1"):
         if sf_dir.rstrip("/").endswith(sf):
             return sf
     return "sf0.1"

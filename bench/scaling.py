@@ -68,7 +68,18 @@ def main() -> None:
     brackets = [int(n) for n in os.environ.get(
         "RUSTAC_SCALE_BRACKETS", "2,4").split(",")]
     n_runs = int(os.environ.get("RUSTAC_SCALE_RUNS", "1"))
-    levels = sorted({n for lo in brackets for n in (lo, 4 * lo)})
+    # per-bracket inputs (strong-scaling methodology): a 4N leg with
+    # too little per-core work measures the pipeline's fixed costs,
+    # not the engine — so each bracket can name its own input scale
+    # (aligned comma list; default: the global sf_dir for all).
+    # Throughput is only ever compared WITHIN a bracket.
+    bracket_sfs = os.environ.get("RUSTAC_SCALE_BRACKET_SFS", "")
+    sf_by_bracket = {lo: sf_dir for lo in brackets}
+    if bracket_sfs:
+        for lo, d in zip(brackets, bracket_sfs.split(",")):
+            sf_by_bracket[lo] = d
+    levels = sorted({(n, sf_by_bracket[lo])
+                     for lo in brackets for n in (lo, 4 * lo)})
 
     # resumable runs: each completed bench invocation is appended to
     # scaling_runs.jsonl, so a wall-clock-limited session can collect
@@ -84,8 +95,8 @@ def main() -> None:
         with open(runs_path) as f:
             prior = [json.loads(line) for line in f if line.strip()]
 
-    runs: dict[int, list[dict]] = {}
-    for cpus in levels:
+    runs: dict[tuple[int, str], list[dict]] = {}
+    for cpus, sfd in levels:
         # a resumed leg is only comparable if it measured the SAME
         # input with the SAME bench-relevant sources — mixing legs
         # across engine edits is exactly the bench-taint failure mode
@@ -94,7 +105,7 @@ def main() -> None:
         have = [r for r in prior
                 if r.get("cpus") == cpus
                 and r.get("src", r.get("rev")) in (src, rev)
-                and r.get("sf_dir") == sf_dir]
+                and r.get("sf_dir") == sfd]
         stale = [r for r in prior if r.get("cpus") == cpus
                  and r not in have]
         if stale:
@@ -104,40 +115,42 @@ def main() -> None:
         # varies by tens of percent across minutes-scale windows, so
         # the best over many windows converges on engine cost; only
         # top up with new invocations when below n_runs
-        runs[cpus] = list(have)
-        for i in range(len(runs[cpus]), n_runs):
-            r = run_bench(sf_dir, cpus)
-            r["rev"], r["src"], r["sf_dir"] = rev, src, sf_dir
+        runs[(cpus, sfd)] = list(have)
+        for i in range(len(runs[(cpus, sfd)]), n_runs):
+            r = run_bench(sfd, cpus)
+            r["rev"], r["src"], r["sf_dir"] = rev, src, sfd
             if os.environ.get("RUSTAC_SCALE_RESUME"):
                 with open(runs_path, "a") as f:
                     f.write(json.dumps(r) + "\n")
-            runs[cpus].append(r)
+            runs[(cpus, sfd)].append(r)
             print(f"# local[{cpus}] run {i}: {r['value']}s "
                   f"({r['pages_per_sec']} pages/s)", file=sys.stderr)
 
-    best = {c: max(rs, key=lambda r: r["pages_per_sec"])
-            for c, rs in runs.items()}
+    best = {k: max(rs, key=lambda r: r["pages_per_sec"])
+            for k, rs in runs.items()}
     bracket_results = []
     for lo in brackets:
-        hi = 4 * lo
-        t_lo = best[lo]["pages_per_sec"]
-        t_hi = best[hi]["pages_per_sec"]
+        hi, sfd = 4 * lo, sf_by_bracket[lo]
+        t_lo = best[(lo, sfd)]["pages_per_sec"]
+        t_hi = best[(hi, sfd)]["pages_per_sec"]
         eff = (t_hi / t_lo) / 4.0
         bracket_results.append({
             "n_low": lo, "n_high": hi,
+            "sf": best[(lo, sfd)]["sf"],
+            "n_pages": best[(lo, sfd)]["n_pages"],
             "throughput_lowN_pages_per_sec": t_lo,
             "throughput_4N_pages_per_sec": t_hi,
             "scaling_efficiency_N_to_4N": round(eff, 3),
             "target": 0.8, "meets_target": eff >= 0.8,
-            "stages_lowN_sec": best[lo]["queries"],
-            "stages_4N_sec": best[hi]["queries"],
-            "sec_lowN": best[lo]["value"],
-            "sec_4N": best[hi]["value"],
+            "stages_lowN_sec": best[(lo, sfd)]["queries"],
+            "stages_4N_sec": best[(hi, sfd)]["queries"],
+            "sec_lowN": best[(lo, sfd)]["value"],
+            "sec_4N": best[(hi, sfd)]["value"],
         })
     primary = bracket_results[0]
     result = {
-        "sf": best[brackets[0]]["sf"],
-        "n_pages": best[brackets[0]]["n_pages"],
+        "sf": primary["sf"],
+        "n_pages": primary["n_pages"],
         # legacy top-level fields = the primary bracket; all brackets
         # (two independent strong-scaling measurements) listed below
         **{k: primary[k] for k in (
@@ -153,14 +166,16 @@ def main() -> None:
 
     rows = "\n".join(
         f"| local[{b['n_low']}] → local[{b['n_high']}] "
+        f"| {b['n_pages']} ({b['sf']}) "
         f"| {b['throughput_lowN_pages_per_sec']} | {b['sec_lowN']} "
         f"| {b['throughput_4N_pages_per_sec']} | {b['sec_4N']} "
         f"| **{b['scaling_efficiency_N_to_4N']}** "
         f"| {'MET' if b['meets_target'] else 'NOT MET'} |"
         for b in bracket_results)
     stage_rows = "\n".join(
-        f"- local[{c}]: {json.dumps(best[c]['queries'])}"
-        for c in levels)
+        f"- local[{c}] @ {best[(c, sfd)]['sf']}: "
+        f"{json.dumps(best[(c, sfd)]['queries'])}"
+        for c, sfd in levels)
     # preserve hand-written appendix sections (codegen decision,
     # per-round notes) below the first "## " heading that isn't ours
     appendix = ""
@@ -175,13 +190,14 @@ def main() -> None:
         f.write(f"""# BENCH — scaling evidence (north_rule)
 
 Same job (bench.py: prepare → spatial join → spatio-temporal join →
-kNN → tiles, with per-stage lineage), same input
-({result['n_pages']} pages, {result['sf']}), run at TWO independent
-N→4N parallelism brackets on the 32-core host — the sandbox stand-in
-for two cluster sizes.
+kNN → tiles, with per-stage lineage), same deterministic generator,
+run at TWO independent N→4N parallelism brackets on the 32-core host
+— the sandbox stand-in for two cluster sizes. Each bracket compares
+both its legs on ONE input, sized so per-core work stays constant
+across brackets (strong-scaling methodology; see Input sizing).
 
-| bracket (N → 4N) | pages/s @N | sec @N | pages/s @4N | sec @4N | efficiency (T_4N/T_N)/4 | target ≥ 0.8 |
-|---|---|---|---|---|---|---|
+| bracket (N → 4N) | input rows | pages/s @N | sec @N | pages/s @4N | sec @4N | efficiency (T_4N/T_N)/4 | target ≥ 0.8 |
+|---|---|---|---|---|---|---|---|
 {rows}
 
 Per-stage seconds (per-stage minima within each invocation):
@@ -190,8 +206,11 @@ Per-stage seconds (per-stage minima within each invocation):
 Input sizing: strong-scaling needs enough per-core work that the
 pipeline's fixed costs (stage materialization, commit markers, driver
 coordination — ~0.3-0.7 s/stage) don't dominate the high-parallelism
-leg; at 1M rows the 4N leg is ~40% fixed cost (measured eff 0.60),
-so the evidence runs the same deterministic generator at 4M rows.
+leg; at 1M rows the 4N leg is ~40% fixed cost (measured eff 0.60).
+So each bracket runs at ~2M rows per low-leg core: the 2→8 bracket
+at 4M rows, the 4→16 bracket at 10M rows (a local[16] leg on 4M rows
+finishes in ~27 s of which ~6 s is fixed cost — that measures the
+harness, not the engine).
 
 Why these brackets: this sandbox VM exhibits erratic multi-second
 scheduler stalls at >16 Spark threads (measured: pure-CPU

@@ -82,6 +82,112 @@ def _reference_point_dedup(res: int, hot: set[int] | None = None,
     return F.col("cell") == ref
 
 
+# Upper bound on ACCEPTED (footprint, polygon) verdict pairs for the
+# memoized refine: past this the broadcast back onto the candidate
+# stream stops being clearly safe (~50 B/row -> ~100 MB) and the
+# caller falls back to the inline Arrow refine.
+MEMO_VERDICT_CAP = 2_000_000
+
+
+def _pieces_bbox(pieces) -> tuple[float, float, float, float]:
+    """Tight bbox over a geometry's pieces (driver-side)."""
+    xs: list[float] = []
+    ys: list[float] = []
+    for kind, data in pieces:
+        if kind == "point":
+            xs.append(float(data[0])), ys.append(float(data[1]))
+        elif kind == "line":
+            arr = np.asarray(data, dtype=np.float64)
+            xs += [float(arr[:, 0].min()), float(arr[:, 0].max())]
+            ys += [float(arr[:, 1].min()), float(arr[:, 1].max())]
+        else:
+            for ring in data:
+                arr = np.asarray(ring, dtype=np.float64)
+                xs += [float(arr[:, 0].min()), float(arr[:, 0].max())]
+                ys += [float(arr[:, 1].min()), float(arr[:, 1].max())]
+    return min(xs), min(ys), max(xs), max(ys)
+
+
+def _memo_refine(joined: DataFrame, pages: DataFrame,
+                 pieces_by_qid: dict[int, list],
+                 inner_by_qid: dict[int, tuple] | None,
+                 ) -> DataFrame | None:
+    """Exact polygon residual via per-distinct-footprint memoization.
+
+    Footprints are geocoded per DOMAIN (geocode.py), so the distinct
+    (xmin, ymin, xmax, ymax) set is ~#domains — orders of magnitude
+    below #candidate rows on any crawl-shaped corpus. The exact
+    kernel therefore runs once per distinct (footprint, polygon) pair
+    on a tiny derived frame, and its accepted pairs are BROADCAST
+    back onto the candidate stream as a left join + null check: the
+    multi-million-row stream never crosses Arrow, stays entirely in
+    whole-stage codegen, and the join scales with cores instead of
+    sitting on the Python workers' oversubscription floor (measured:
+    join_pairs 11.8 s -> ~4 s at local[16], sf0.4).
+
+    Scale guard: if the accepted-pair count exceeds MEMO_VERDICT_CAP
+    (footprint cardinality ~ candidate cardinality — e.g. per-page
+    geocodes), returns None and the caller keeps the inline Arrow
+    refine, which carries no broadcast. The count is one extra small
+    eager job at plan-build time, same contract as the driver-side
+    geometry capture this mode already implies.
+
+    Verdicts come from the SAME numpy kernels as the inline refine
+    (inscribed-rect accept + rects_intersect_pieces), so accepted
+    row sets are identical by construction.
+    """
+    spark = joined.sparkSession
+    rects = pages.select("xmin", "ymin", "xmax", "ymax").distinct()
+    qb = spark.createDataFrame(
+        [(int(q), *_pieces_bbox(pcs)) for q, pcs in pieces_by_qid.items()],
+        "query_id long, qxmin double, qymin double, "
+        "qxmax double, qymax double")
+    cand = (rects.join(F.broadcast(qb), _rect_overlap())
+            .select("query_id", "xmin", "ymin", "xmax", "ymax"))
+
+    schema = ("query_id long, xmin double, ymin double, "
+              "xmax double, ymax double")
+
+    def verdict(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            for qid in pdf["query_id"].unique():
+                m = (pdf["query_id"] == qid).to_numpy()
+                x0 = pdf.loc[m, "xmin"].to_numpy()
+                y0 = pdf.loc[m, "ymin"].to_numpy()
+                x1 = pdf.loc[m, "xmax"].to_numpy()
+                y1 = pdf.loc[m, "ymax"].to_numpy()
+                res = np.zeros(len(x0), dtype=bool)
+                need = np.ones(len(x0), dtype=bool)
+                ir = (inner_by_qid or {}).get(qid)
+                if ir is not None:
+                    inside = ((x0 >= ir[0]) & (y0 >= ir[1])
+                              & (x1 <= ir[2]) & (y1 <= ir[3]))
+                    res[inside] = True
+                    need = ~inside
+                if need.any():
+                    res[need] = rects_intersect_pieces(
+                        x0[need], y0[need], x1[need], y1[need],
+                        pieces_by_qid[qid])
+                keep[m] = res
+            yield pdf[keep]
+
+    accepted = cand.mapInPandas(verdict, schema=schema)
+    accepted = accepted.persist()
+    if accepted.count() > MEMO_VERDICT_CAP:
+        accepted.unpersist()
+        return None
+    marked = F.broadcast(accepted.withColumn("__pip_ok", F.lit(True)))
+    keys = ["query_id", "xmin", "ymin", "xmax", "ymax"]
+    return (joined.join(marked, keys, "left")
+            .where((F.col("kind") != F.lit("polygon"))
+                   | F.col("__pip_ok").isNotNull())
+            .drop("__pip_ok"))
+
+
 def _mixed_refine(joined: DataFrame,
                   pieces_by_qid: dict[int, list] | None = None,
                   inner_by_qid: dict[int, tuple] | None = None,
@@ -151,6 +257,7 @@ def spatial_join(pages: DataFrame, queries: DataFrame,
                  subdivide_threshold: int | None = None,
                  has_polygons: bool | None = None,
                  compile_polygons: bool = False,
+                 refine_memo: bool | None = None,
                  grid=default_grid) -> DataFrame:
     """pages ⋈_ST_Intersects queries → (query_id, kind, *page_cols).
 
@@ -158,21 +265,21 @@ def spatial_join(pages: DataFrame, queries: DataFrame,
     (from geocode.with_geocode); queries carry QUERY_COLS.
 
     If the query set contains no polygons the whole join is pure
-    Column math (zero Python). With polygons, the DEFAULT residual is
-    the Arrow-batched numpy refine over the (output-sized) candidate
-    stream — with a broadcast query side it carries no per-row WKB
-    and interior candidates take the inscribed-rect accept, so the
-    Python stage touches only boundary candidates' math.
-    ``compile_polygons=True`` instead COMPILES in-budget geometries
-    into the exact residual predicate as a Column expression
-    (colgeom.py, ear-clip + separating-axis), falling back to Arrow
-    past the budgets. Both paths accept identical candidate sets
-    outside the kernels' 1e-12 on-edge shell (tests/test_colgeom.py).
-    The compiled path is OPT-IN after measurement on this host: it
-    wins nothing at 8 threads and anti-scales at 16 (26.7 s vs the
-    Arrow path's 9.2 s on the sf0.4 probe set — see colgeom.py's
-    module docstring for the full codegen story); revisit on a real
-    multi-executor cluster where Python workers get their own cores.
+    Column math (zero Python). With polygons and a broadcast query
+    side the DEFAULT residual is the MEMOIZED refine (_memo_refine):
+    the exact numpy kernel runs once per distinct (footprint,
+    polygon) pair — footprints are per-domain, so that frame is tiny
+    — and accepted pairs broadcast back onto the candidate stream,
+    which therefore never crosses Arrow. ``refine_memo=False`` (or
+    the accepted-pair count exceeding MEMO_VERDICT_CAP, or the
+    shuffle-join fallback where geometries ride per row) uses the
+    inline Arrow-batched refine over the candidate stream instead.
+    ``compile_polygons=True`` COMPILES in-budget geometries into the
+    residual predicate as a Column expression (colgeom.py, ear-clip +
+    separating-axis) — opt-in after measurement: it anti-scales at 16
+    threads on this host (see colgeom.py's codegen story). All paths
+    accept identical candidate sets outside the kernels' 1e-12
+    on-edge shell (tests/test_colgeom.py, test_spatial.py).
 
     has_polygons: pass True/False to skip the small plan-time probe of
     the query side (a `.limit(1).count()` on the queries table). The
@@ -181,9 +288,12 @@ def spatial_join(pages: DataFrame, queries: DataFrame,
     should supply the flag. Note that with has_polygons=True and a
     broadcast query side the builder still runs ONE bounded eager
     collect (the polygon WKBs, captured driver-side so the candidate
-    stream carries no per-row geometry); fully-lazy iterative callers
-    should pass has_polygons=False when their probes are rect/point
-    only, which keeps plan building action-free.
+    stream carries no per-row geometry), and the default memoized
+    refine adds one small eager job (distinct footprints × polygons →
+    verdict count, the MEMO_VERDICT_CAP guard); fully-lazy iterative
+    callers should pass has_polygons=False when their probes are
+    rect/point only (action-free plan building), or
+    refine_memo=False to keep polygon probes lazy too.
     """
     page_cols = page_cols or [c for c in pages.columns
                               if c not in ("html", "text")]
@@ -250,6 +360,7 @@ def spatial_join(pages: DataFrame, queries: DataFrame,
               .where(_reference_point_dedup(res, hot, grid)))
     if has_polygons:
         refined = None
+        memoed = None
         if compile_polygons and pieces_by_qid is not None:
             from .colgeom import compile_refine_predicate
             refined = compile_refine_predicate(
@@ -257,8 +368,14 @@ def spatial_join(pages: DataFrame, queries: DataFrame,
                 F.col("query_id"), F.col("kind"),
                 F.col("xmin"), F.col("ymin"),
                 F.col("xmax"), F.col("ymax"))
+        if refined is None and pieces_by_qid is not None and (
+                refine_memo is not False):
+            memoed = _memo_refine(joined, pages,
+                                  pieces_by_qid, inner_by_qid)
         if refined is not None:
             joined = joined.where(refined)
+        elif memoed is not None:
+            joined = memoed
         else:
             joined = _mixed_refine(joined, pieces_by_qid, inner_by_qid)
     out_cols = ["query_id", "kind"] + page_cols

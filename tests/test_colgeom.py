@@ -132,14 +132,17 @@ def pages_geo(spark):
     return df
 
 
-def test_join_compiled_equals_arrow_path(spark, pages_geo, queries_df):
+def test_join_compiled_memo_arrow_paths_agree(spark, pages_geo,
+                                              queries_df):
     compiled = spatial_join(pages_geo, queries_df, page_cols=["url"],
                             compile_polygons=True)
     arrow = spatial_join(pages_geo, queries_df, page_cols=["url"],
-                         compile_polygons=False)
+                         refine_memo=False)
+    memo = spatial_join(pages_geo, queries_df, page_cols=["url"])
     a = sorted(map(tuple, compiled.collect()))
     b = sorted(map(tuple, arrow.collect()))
-    assert a == b and len(a) > 0
+    c = sorted(map(tuple, memo.collect()))
+    assert a == b == c and len(a) > 0
 
 
 def test_compiled_join_plan_has_no_python_stage(spark, pages_geo,
@@ -154,7 +157,18 @@ def test_compiled_join_plan_has_no_python_stage(spark, pages_geo,
     # for the whole stage) — locked by the join line staying small
     bhj = [l for l in plan.splitlines() if "BroadcastHashJoin" in l][0]
     assert "CASE WHEN" not in bhj
-    # default path is the Arrow refine (measured faster on this host)
+    # default path is the MEMOIZED refine: the candidate stream stays
+    # JVM-side — the only MapInPandas (verdict kernel) sits under the
+    # small broadcast side, never above the main BroadcastHashJoin
     default = spatial_join(pages_geo, queries_df, page_cols=["url"])
+    dplan = default._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in dplan
+    main_join = [l for l in dplan.splitlines()
+                 if "BroadcastHashJoin" in l and "LeftOuter" in l][0]
+    above = dplan.splitlines()[:dplan.splitlines().index(main_join)]
+    assert not any("MapInPandas" in l for l in above)
+    # the explicit Arrow path still drives the whole stream through it
+    arrow = spatial_join(pages_geo, queries_df, page_cols=["url"],
+                         refine_memo=False)
     assert "MapInPandas" in (
-        default._jdf.queryExecution().executedPlan().toString())
+        arrow._jdf.queryExecution().executedPlan().toString())
