@@ -124,6 +124,72 @@ def dup_ngram_spans(docs: DataFrame, n: int = 10, min_count: int = 2,
             .drop("_run"))
 
 
+def contaminated_gram_counts(docs: DataFrame, benchmark: DataFrame,
+                             n: int = 8, id_col: str = "doc_id",
+                             text_col: str = "text",
+                             bench_text_col: str = "text") -> DataFrame:
+    """Benchmark-decontamination hit counts (GPT-3 appendix C /
+    Llama-style n-gram train-test overlap): for every corpus doc that
+    shares at least one token `n`-gram with the held-out benchmark
+    set, report (id_col, n_contam_grams) where n_contam_grams is the
+    number of token POSITIONS in the doc whose n-gram appears anywhere
+    in the benchmark (two occurrences of the same benchmark gram count
+    twice). Clean docs are absent from the output.
+
+    Physical shape: the benchmark's distinct grams are tiny by
+    construction (eval sets are MBs even when the corpus is 100 TB),
+    so they BROADCAST; the corpus is tokenized and scanned exactly
+    once, its grams probed against the broadcast hash set — the
+    corpus itself is never reshuffled, only the (rare) hit rows are
+    aggregated by doc id.
+    """
+    def _grams(df, tcol, cols):
+        tk = F.split(F.trim(F.col(tcol)), r"\s+")
+        return (df.select(*cols, tk.alias("tk"))
+                .where(F.size("tk") >= n)
+                .select(*cols, F.expr(
+                    f"posexplode(sequence(0, size(tk) - {n}))")
+                    .alias("_i", "pos"), "tk")
+                .select(*cols, F.concat_ws(
+                    " ", F.slice(F.col("tk"), F.col("pos") + 1, n))
+                    .alias("g")))
+
+    bench_grams = (_grams(benchmark, bench_text_col, [])
+                   .select("g").distinct())
+    doc_grams = _grams(docs, text_col, [id_col])
+    return (doc_grams.join(F.broadcast(bench_grams), "g")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_contam_grams")))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
+                  mode: str = "drop", id_col: str = "doc_id",
+                  text_col: str = "text",
+                  bench_text_col: str = "text") -> DataFrame:
+    """Drop (mode="drop") or annotate (mode="flag") corpus docs that
+    share any token n-gram with a held-out benchmark/eval set — the
+    standard pre-training decontamination pass. "flag" keeps every
+    row and adds (contaminated: bool, n_contam_grams: long); "drop"
+    returns the clean subset with the original schema.
+
+    The contaminated-id set is assumed small (benchmark overlap is
+    rare by construction), so it broadcasts back onto the corpus:
+    no corpus reshuffle in either mode.
+    """
+    if mode not in ("drop", "flag"):
+        raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
+    hits = contaminated_gram_counts(docs, benchmark, n=n, id_col=id_col,
+                                    text_col=text_col,
+                                    bench_text_col=bench_text_col)
+    if mode == "drop":
+        return docs.join(F.broadcast(hits), id_col, "left_anti")
+    return (docs.join(F.broadcast(hits), id_col, "left")
+            .withColumn("contaminated", F.col("n_contam_grams").isNotNull())
+            .withColumn("n_contam_grams",
+                        F.coalesce(F.col("n_contam_grams"), F.lit(0))
+                        .cast("long")))
+
+
 def with_dup_span_fraction(docs: DataFrame, n: int = 10,
                            min_count: int = 2, id_col: str = "doc_id",
                            text_col: str = "text",

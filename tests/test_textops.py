@@ -736,3 +736,63 @@ def test_canonical_url_port_strip_anchored_to_authority(spark):
     assert got[3] == "https://h"
     assert got[4] == "http://h/p?next=a:80"
     assert got[5] == "http://h:8080/p"
+
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    from rustac_spark.textops.ngram import (contaminated_gram_counts,
+                                            decontaminate)
+    bench_q = " ".join(f"benchq{j}" for j in range(8))
+    rows = [
+        (0, "clean " + " ".join(f"safe{j}" for j in range(12))),
+        # verbatim benchmark question embedded mid-document
+        (1, "prefix words " + bench_q + " suffix words here"),
+        # shares only 7 of the 8 benchmark tokens contiguously
+        (2, " ".join(f"benchq{j}" for j in range(7)) + " divergent tail"),
+        # two separate full matches -> two contaminated gram positions
+        (3, bench_q + " mid " + bench_q),
+        (4, ""),  # empty doc: no grams, never contaminated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(bench_q,)], "text string")
+
+    counts = {r.doc_id: r.n_contam_grams
+              for r in contaminated_gram_counts(docs, bench, n=8).collect()}
+    assert counts == {1: 1, 3: 2}
+
+    kept = sorted(r.doc_id for r in
+                  decontaminate(docs, bench, n=8).collect())
+    assert kept == [0, 2, 4]
+
+    flagged = {r.doc_id: (r.contaminated, r.n_contam_grams)
+               for r in decontaminate(docs, bench, n=8,
+                                      mode="flag").collect()}
+    assert flagged == {0: (False, 0), 1: (True, 1), 2: (False, 0),
+                       3: (True, 2), 4: (False, 0)}
+    with pytest.raises(ValueError):
+        decontaminate(docs, bench, n=8, mode="purge")
+
+
+def test_decontaminate_vs_python_oracle(spark, corpus):
+    """Corpus vs a brute-force Python oracle: benchmark = every 7th
+    doc's text; any doc sharing a token 6-gram with one of them must
+    be dropped, everything else kept."""
+    from rustac_spark.textops.ngram import decontaminate
+    pdf = _corpus()
+    bench_pdf = pdf[pdf.doc_id % 7 == 0]
+    n = 6
+
+    def grams(text):
+        tks = text.split()
+        return {" ".join(tks[i:i + n]) for i in range(len(tks) - n + 1)}
+
+    bench_grams = set().union(*(grams(t) for t in bench_pdf.text))
+    expect_kept = sorted(
+        r.doc_id for r in pdf.itertuples()
+        if not (grams(r.text) & bench_grams))
+
+    bench = spark.createDataFrame(bench_pdf[["text"]])
+    kept = sorted(r.doc_id for r in
+                  decontaminate(corpus, bench, n=n).collect())
+    assert kept == expect_kept
+    # benchmark members trivially self-overlap -> all dropped
+    assert all(d not in kept for d in pdf.doc_id[pdf.doc_id % 7 == 0])
