@@ -82,73 +82,62 @@ def _reference_point_dedup(res: int, hot: set[int] | None = None,
     return F.col("cell") == ref
 
 
-# Upper bound on ACCEPTED (footprint, polygon) verdict pairs for the
+# Upper bound on REJECTED (footprint, polygon) verdict pairs for the
 # memoized refine: past this the broadcast back onto the candidate
 # stream stops being clearly safe (~50 B/row -> ~100 MB) and the
 # caller falls back to the inline Arrow refine.
 MEMO_VERDICT_CAP = 2_000_000
 
 
-def _pieces_bbox(pieces) -> tuple[float, float, float, float]:
-    """Tight bbox over a geometry's pieces (driver-side)."""
-    xs: list[float] = []
-    ys: list[float] = []
-    for kind, data in pieces:
-        if kind == "point":
-            xs.append(float(data[0])), ys.append(float(data[1]))
-        elif kind == "line":
-            arr = np.asarray(data, dtype=np.float64)
-            xs += [float(arr[:, 0].min()), float(arr[:, 0].max())]
-            ys += [float(arr[:, 1].min()), float(arr[:, 1].max())]
-        else:
-            for ring in data:
-                arr = np.asarray(ring, dtype=np.float64)
-                xs += [float(arr[:, 0].min()), float(arr[:, 0].max())]
-                ys += [float(arr[:, 1].min()), float(arr[:, 1].max())]
-    return min(xs), min(ys), max(xs), max(ys)
-
-
 def _memo_refine(joined: DataFrame, pages: DataFrame,
+                 queries: DataFrame,
                  pieces_by_qid: dict[int, list],
                  inner_by_qid: dict[int, tuple] | None,
                  ) -> DataFrame | None:
-    """Exact polygon residual via per-distinct-footprint memoization.
+    """Exact polygon residual via REJECT-side memoization.
 
-    Footprints are geocoded per DOMAIN (geocode.py), so the distinct
-    (xmin, ymin, xmax, ymax) set is ~#domains — orders of magnitude
-    below #candidate rows on any crawl-shaped corpus. The exact
-    kernel therefore runs once per distinct (footprint, polygon) pair
-    on a tiny derived frame, and its accepted pairs are BROADCAST
-    back onto the candidate stream as a left join + null check: the
-    multi-million-row stream never crosses Arrow, stays entirely in
-    whole-stage codegen, and the join scales with cores instead of
-    sitting on the Python workers' oversubscription floor (measured:
-    join_pairs 11.8 s -> ~4 s at local[16], sf0.4).
+    The candidate stream's polygon rows already passed the rect ×
+    query-bbox overlap, and the bbox is a good filter: with the
+    inscribed-rect shortcut, ~99% of bbox-overlap candidates pass the
+    exact kernel on crawl-shaped data (measured at sf0.4: 1,933,860
+    of 1,952,529). So the SMALL side — the right side to broadcast —
+    is the REJECTED pair set, not the accepted one: the exact kernel
+    runs over a slim (query_id + 4 doubles, no url bytes) projection
+    of the page footprints, emits only its rejects, and those
+    broadcast back onto the candidate stream as a left join + null
+    check. The multi-million-row stream never crosses Arrow and stays
+    entirely in whole-stage codegen; the broadcast is O(rejects) —
+    ~19k rows at sf0.4 where the earlier accepted-side variant built
+    a 1.9M-row (~77 MB) broadcast, ran a full-corpus distinct, and
+    blew past its own cap at sf1.0 (accepted grows with the corpus;
+    rejects only with the bbox-vs-polygon slack).
 
-    Scale guard: if the accepted-pair count exceeds MEMO_VERDICT_CAP
-    (footprint cardinality ~ candidate cardinality — e.g. per-page
-    geocodes), returns None and the caller keeps the inline Arrow
-    refine, which carries no broadcast. The count is one extra small
-    eager job at plan-build time, same contract as the driver-side
-    geometry capture this mode already implies.
+    Candidate domain: the slim side filters on the queries' OWN
+    (qxmin..qymax) — the exact predicate the stream rows passed — so
+    rejects cover every stream row by construction (a recomputed
+    tight bbox could let a loose-bbox stream row escape the kernel).
+
+    Scale guard: if the reject count exceeds MEMO_VERDICT_CAP (thin
+    or concave polygons where the bbox is a poor filter), returns
+    None and the caller keeps the inline Arrow refine, which carries
+    no broadcast. The count is one small eager job at plan-build
+    time, same contract as the driver-side geometry capture this
+    mode already implies.
 
     Verdicts come from the SAME numpy kernels as the inline refine
     (inscribed-rect accept + rects_intersect_pieces), so accepted
     row sets are identical by construction.
     """
-    spark = joined.sparkSession
-    rects = pages.select("xmin", "ymin", "xmax", "ymax").distinct()
-    qb = spark.createDataFrame(
-        [(int(q), *_pieces_bbox(pcs)) for q, pcs in pieces_by_qid.items()],
-        "query_id long, qxmin double, qymin double, "
-        "qxmax double, qymax double")
-    cand = (rects.join(F.broadcast(qb), _rect_overlap())
+    qb = (queries.where(F.col("kind") == F.lit("polygon"))
+          .select("query_id", "qxmin", "qymin", "qxmax", "qymax"))
+    cand = (pages.select("xmin", "ymin", "xmax", "ymax")
+            .join(F.broadcast(qb), _rect_overlap())
             .select("query_id", "xmin", "ymin", "xmax", "ymax"))
 
     schema = ("query_id long, xmin double, ymin double, "
               "xmax double, ymax double")
 
-    def verdict(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def rejects(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 yield pdf
@@ -173,19 +162,22 @@ def _memo_refine(joined: DataFrame, pages: DataFrame,
                         x0[need], y0[need], x1[need], y1[need],
                         pieces_by_qid[qid])
                 keep[m] = res
-            yield pdf[keep]
+            yield pdf[~keep]
 
-    accepted = cand.mapInPandas(verdict, schema=schema)
-    accepted = accepted.persist()
-    if accepted.count() > MEMO_VERDICT_CAP:
-        accepted.unpersist()
+    # distinct AFTER the kernel: duplicate (footprint, polygon) pairs
+    # (pages sharing a footprint) must not multiply stream rows
+    # through the left join; deduping the reject side is O(rejects)
+    rejected = cand.mapInPandas(rejects, schema=schema).distinct()
+    rejected = rejected.persist()
+    if rejected.count() > MEMO_VERDICT_CAP:
+        rejected.unpersist()
         return None
-    marked = F.broadcast(accepted.withColumn("__pip_ok", F.lit(True)))
+    marked = F.broadcast(rejected.withColumn("__pip_bad", F.lit(True)))
     keys = ["query_id", "xmin", "ymin", "xmax", "ymax"]
     return (joined.join(marked, keys, "left")
             .where((F.col("kind") != F.lit("polygon"))
-                   | F.col("__pip_ok").isNotNull())
-            .drop("__pip_ok"))
+                   | F.col("__pip_bad").isNull())
+            .drop("__pip_bad"))
 
 
 def _mixed_refine(joined: DataFrame,
@@ -267,13 +259,14 @@ def spatial_join(pages: DataFrame, queries: DataFrame,
     If the query set contains no polygons the whole join is pure
     Column math (zero Python). With polygons and a broadcast query
     side the DEFAULT residual is the MEMOIZED refine (_memo_refine):
-    the exact numpy kernel runs once per distinct (footprint,
-    polygon) pair — footprints are per-domain, so that frame is tiny
-    — and accepted pairs broadcast back onto the candidate stream,
-    which therefore never crosses Arrow. ``refine_memo=False`` (or
-    the accepted-pair count exceeding MEMO_VERDICT_CAP, or the
-    shuffle-join fallback where geometries ride per row) uses the
-    inline Arrow-batched refine over the candidate stream instead.
+    the exact numpy kernel runs over a slim (query_id + footprint
+    bbox) projection and its REJECTED pairs — the small side, since
+    the query bbox already filters ~99% correctly — broadcast back
+    onto the candidate stream, which therefore never crosses Arrow.
+    ``refine_memo=False`` (or the reject-pair count exceeding
+    MEMO_VERDICT_CAP, or the shuffle-join fallback where geometries
+    ride per row) uses the inline Arrow-batched refine over the
+    candidate stream instead.
     ``compile_polygons=True`` COMPILES in-budget geometries into the
     residual predicate as a Column expression (colgeom.py, ear-clip +
     separating-axis) — opt-in after measurement: it anti-scales at 16
@@ -289,8 +282,8 @@ def spatial_join(pages: DataFrame, queries: DataFrame,
     broadcast query side the builder still runs ONE bounded eager
     collect (the polygon WKBs, captured driver-side so the candidate
     stream carries no per-row geometry), and the default memoized
-    refine adds one small eager job (distinct footprints × polygons →
-    verdict count, the MEMO_VERDICT_CAP guard); fully-lazy iterative
+    refine adds one small eager job (slim footprints × polygons →
+    reject count, the MEMO_VERDICT_CAP guard); fully-lazy iterative
     callers should pass has_polygons=False when their probes are
     rect/point only (action-free plan building), or
     refine_memo=False to keep polygon probes lazy too.
@@ -370,7 +363,7 @@ def spatial_join(pages: DataFrame, queries: DataFrame,
                 F.col("xmax"), F.col("ymax"))
         if refined is None and pieces_by_qid is not None and (
                 refine_memo is not False):
-            memoed = _memo_refine(joined, pages,
+            memoed = _memo_refine(joined, pages, queries,
                                   pieces_by_qid, inner_by_qid)
         if refined is not None:
             joined = joined.where(refined)
