@@ -69,6 +69,22 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_of(sf_dir)
 
+    # Pin the whole process tree (this driver, the JVM it spawns, the
+    # pyspark.daemon workers) to exactly `cpus` physical cores. A
+    # local[N] run on an idle 32-core host otherwise borrows idle
+    # cores for JVM service threads (parallel GC, JIT, shuffle IO) and
+    # numpy/Arrow worker threads, so a low-N leg is NOT a faithful
+    # N-core executor and scaling efficiency is measured against an
+    # inflated baseline. Pinning also removes scheduler-migration
+    # noise (measured: join_pairs at local[2] 20.7-26.7 s unpinned ->
+    # 18.6-18.8 s pinned, and run-to-run spread collapses). No-op when
+    # cpus >= host cores.
+    try:
+        os.sched_setaffinity(
+            0, set(range(min(cpus, os.cpu_count() or cpus))))
+    except (AttributeError, OSError):
+        pass  # non-Linux or restricted: run unpinned
+
     spark = get_spark(f"bench-{sf}-{cpus}", master=f"local[{cpus}]",
                       shuffle_partitions=2 * cpus,
                       extra={

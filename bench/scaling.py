@@ -231,7 +231,14 @@ passes with the headline composed from per-stage minima
 (steal-resistant); best invocation counted when several; runs
 collected post-commit (import-taint protocol) via
 `SPARK_GRAFT_CPUS=N python bench.py`; deterministic input
-(sha256-keyed synthetic pages, FIXTURES.md §1).
+(sha256-keyed synthetic pages, FIXTURES.md §1). Each leg pins its
+whole process tree (JVM, Python workers) to exactly N cores via
+sched_setaffinity — without pinning a local[N] leg borrows idle host
+cores for JVM service threads (parallel GC, JIT, shuffle IO), so the
+low leg is not a faithful N-core executor and efficiency is measured
+against an inflated baseline; pinning also collapses
+scheduler-migration noise (join_pairs local[2]: 20.7-26.7 s unpinned
+-> 18.6-18.8 s pinned).
 """)
         f.write(appendix)
     print(json.dumps(result))
