@@ -351,9 +351,35 @@ def compile_pieces_predicate(pieces, rx0: Column, ry0: Column,
     return out, nodes
 
 
+# Compiled-predicate cache: building the SAT Column tree is DRIVER
+# work — thousands of py4j round trips (~4-6 s measured for the
+# 17-polygon bench set) paid identically at every parallelism level,
+# i.e. pure serial cost on every fresh spatial_join over the same
+# query set. Geometries are content-hashed (pickle of the numpy
+# pieces) and the finished Column reused: a Column is an immutable
+# expression tree, safe to splice into any number of plans.
+_COMPILE_CACHE: dict[tuple, "Column | None"] = {}
+_COMPILE_CACHE_MAX = 32
+
+
+def _compile_cache_key(pieces_by_qid, inner_by_qid, cols, budgets):
+    import hashlib
+    import pickle
+    geo = hashlib.sha256(pickle.dumps(
+        (sorted(pieces_by_qid.items()),
+         sorted((inner_by_qid or {}).items())))).hexdigest()
+    return (geo, tuple(str(c) for c in cols), budgets)
+
+
+def _cache_put(key, value) -> None:
+    if len(_COMPILE_CACHE) >= _COMPILE_CACHE_MAX:
+        _COMPILE_CACHE.pop(next(iter(_COMPILE_CACHE)))
+    _COMPILE_CACHE[key] = value
+
+
 def compile_refine_predicate(pieces_by_qid: dict[int, list],
                              inner_by_qid: dict[int, tuple] | None,
-                             qid: Column, kind: Column,
+                             qid: Column, kind: Column | None,
                              rx0: Column, ry0: Column,
                              rx1: Column, ry1: Column,
                              vertex_budget: int | None = None,
@@ -377,16 +403,25 @@ def compile_refine_predicate(pieces_by_qid: dict[int, list],
     """
     if node_budget is None:
         node_budget = DEFAULT_NODE_BUDGET
+    ckey = _compile_cache_key(
+        pieces_by_qid, inner_by_qid,
+        (qid, kind if kind is not None else "<nokind>",
+         rx0, ry0, rx1, ry1),
+        (vertex_budget, node_budget))
+    if ckey in _COMPILE_CACHE:
+        return _COMPILE_CACHE[ckey]
     case: Column | None = None
     total_nodes = 0
     for q, pieces in pieces_by_qid.items():
         compiled = compile_pieces_predicate(pieces, rx0, ry0, rx1, ry1,
                                             vertex_budget)
         if compiled is None:
+            _cache_put(ckey, None)
             return None
         expr, nodes = compiled
         total_nodes += nodes
         if total_nodes > node_budget:
+            _cache_put(ckey, None)
             return None
         ir = (inner_by_qid or {}).get(q)
         if ir is not None:
@@ -399,7 +434,10 @@ def compile_refine_predicate(pieces_by_qid: dict[int, list],
                 else case.when(qid == F.lit(q), expr))
     polygon_ok = F.lit(False) if case is None else case.otherwise(
         F.lit(False))
-    pred = (kind != F.lit("polygon")) | polygon_ok
+    # kind=None: the caller's frame is polygon rows only (the memoized
+    # refine's hard-candidate frame), so the pass-through term drops
+    pred = (polygon_ok if kind is None
+            else (kind != F.lit("polygon")) | polygon_ok)
     # WSCG escape hatch: inlined into a WholeStageCodegen consume()
     # (or merged into the broadcast join's condition) this CASE chain
     # lands in ONE Java method and Janino fails past ~2-4k nodes
@@ -423,5 +461,15 @@ def compile_refine_predicate(pieces_by_qid: dict[int, list],
     # Cost: the predicate conjunct runs first, so only ACCEPTED rows
     # pay the anchor's interpreted 1-element array probe (&& short-
     # circuits); rejected rows pay one extra int compare.
-    anchor = F.exists(F.array(F.rand()), lambda x: x >= F.lit(-1.0))
-    return (pred | (F.spark_partition_id() < F.lit(0))) & anchor
+    # FIXED seed: F.rand() draws a fresh seed per call, making the
+    # expression tree differ between otherwise-identical plans — every
+    # fresh spatial_join then misses the codegen cache and re-Janinos
+    # the whole CASE predicate (~5 s/pass measured in the bench
+    # pipeline). rand(42) is still flagged nondeterministic (which is
+    # all the anchor needs) but keeps the tree — and the generated
+    # code — identical across plan builds, so compilation is paid once
+    # per session.
+    anchor = F.exists(F.array(F.rand(42)), lambda x: x >= F.lit(-1.0))
+    out = (pred | (F.spark_partition_id() < F.lit(0))) & anchor
+    _cache_put(ckey, out)
+    return out

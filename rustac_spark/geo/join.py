@@ -90,7 +90,7 @@ MEMO_VERDICT_CAP = 2_000_000
 
 
 def _memo_refine(joined: DataFrame, pages: DataFrame,
-                 queries: DataFrame,
+                 bbox_by_qid: dict[int, tuple],
                  pieces_by_qid: dict[int, list],
                  inner_by_qid: dict[int, tuple] | None,
                  ) -> DataFrame | None:
@@ -101,21 +101,32 @@ def _memo_refine(joined: DataFrame, pages: DataFrame,
     inscribed-rect shortcut, ~99% of bbox-overlap candidates pass the
     exact kernel on crawl-shaped data (measured at sf0.4: 1,933,860
     of 1,952,529). So the SMALL side — the right side to broadcast —
-    is the REJECTED pair set, not the accepted one: the exact kernel
-    runs over a slim (query_id + 4 doubles, no url bytes) projection
-    of the page footprints, emits only its rejects, and those
-    broadcast back onto the candidate stream as a left join + null
-    check. The multi-million-row stream never crosses Arrow and stays
-    entirely in whole-stage codegen; the broadcast is O(rejects) —
-    ~19k rows at sf0.4 where the earlier accepted-side variant built
-    a 1.9M-row (~77 MB) broadcast, ran a full-corpus distinct, and
-    blew past its own cap at sf1.0 (accepted grows with the corpus;
-    rejects only with the bbox-vs-polygon slack).
+    is the REJECTED pair set, not the accepted one: rejects broadcast
+    back onto the candidate stream as a left join + null check. The
+    multi-million-row stream never crosses Arrow and stays entirely
+    in whole-stage codegen; the broadcast is O(rejects) — ~19k rows
+    at sf0.4 where the earlier accepted-side variant built a 1.9M-row
+    (~77 MB) broadcast, ran a full-corpus distinct, and blew past its
+    own cap at sf1.0 (accepted grows with the corpus; rejects only
+    with the bbox-vs-polygon slack).
 
-    Candidate domain: the slim side filters on the queries' OWN
-    (qxmin..qymax) — the exact predicate the stream rows passed — so
-    rejects cover every stream row by construction (a recomputed
-    tight bbox could let a loose-bbox stream row escape the kernel).
+    Reject computation runs on a slim (query_id + 4 doubles, no url
+    bytes) projection, in three Column-first steps:
+      1. bbox-overlap join against the queries' OWN (qxmin..qymax) —
+         the exact predicate the stream rows passed, so rejects cover
+         every stream row by construction;
+      2. the inscribed-rect accept as a pure COLUMN prefilter — on an
+         N-core-pinned executor the JVM Arrow writer and the Python
+         worker contend for the same cores, so every row that crosses
+         Arrow costs double (measured: the full 1.95M-candidate frame
+         through mapInPandas is 9-16 s at a pinned local[8] vs ~1 s
+         for the same scan JVM-side); interior candidates — the vast
+         majority — never leave the JVM;
+      3. the surviving HARD rows (outside the inscribed rect) get the
+         exact test: the compiled SAT predicate (colgeom — zero
+         Python; per-row eval cost is irrelevant on this small frame)
+         when every geometry is in compile budget, else the numpy
+         winding kernel over just the hard rows.
 
     Scale guard: if the reject count exceeds MEMO_VERDICT_CAP (thin
     or concave polygons where the bbox is a poor filter), returns
@@ -124,51 +135,65 @@ def _memo_refine(joined: DataFrame, pages: DataFrame,
     time, same contract as the driver-side geometry capture this
     mode already implies.
 
-    Verdicts come from the SAME numpy kernels as the inline refine
-    (inscribed-rect accept + rects_intersect_pieces), so accepted
-    row sets are identical by construction.
+    Verdicts come from the same kernels as the inline refine
+    (inscribed-rect accept + rects_intersect_pieces / the SAT
+    equivalent, identical accepted sets per tests/test_colgeom.py),
+    so accepted row sets match by construction.
     """
-    qb = (queries.where(F.col("kind") == F.lit("polygon"))
-          .select("query_id", "qxmin", "qymin", "qxmax", "qymax"))
-    cand = (pages.select("xmin", "ymin", "xmax", "ymax")
+    spark = joined.sparkSession
+    recs = []
+    for q, bb in bbox_by_qid.items():
+        ir = (inner_by_qid or {}).get(q)
+        recs.append((int(q), *[float(v) for v in bb],
+                     *([float(v) for v in ir] if ir is not None
+                       else [None] * 4)))
+    qb = spark.createDataFrame(
+        recs, "query_id long, qxmin double, qymin double, qxmax double, "
+        "qymax double, ixmin double, iymin double, ixmax double, "
+        "iymax double")
+    inside_inner = (F.col("ixmin").isNotNull()
+                    & (F.col("xmin") >= F.col("ixmin"))
+                    & (F.col("ymin") >= F.col("iymin"))
+                    & (F.col("xmax") <= F.col("ixmax"))
+                    & (F.col("ymax") <= F.col("iymax")))
+    hard = (pages.select("xmin", "ymin", "xmax", "ymax")
             .join(F.broadcast(qb), _rect_overlap())
+            .where(~inside_inner)
             .select("query_id", "xmin", "ymin", "xmax", "ymax"))
 
-    schema = ("query_id long, xmin double, ymin double, "
-              "xmax double, ymax double")
+    from .colgeom import compile_refine_predicate
+    compiled = compile_refine_predicate(
+        pieces_by_qid, None, F.col("query_id"), None,
+        F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"))
+    if compiled is not None:
+        rejected = hard.where(~compiled)
+    else:
+        schema = ("query_id long, xmin double, ymin double, "
+                  "xmax double, ymax double")
 
-    def rejects(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pdf
-                continue
-            keep = np.zeros(len(pdf), dtype=bool)
-            for qid in pdf["query_id"].unique():
-                m = (pdf["query_id"] == qid).to_numpy()
-                x0 = pdf.loc[m, "xmin"].to_numpy()
-                y0 = pdf.loc[m, "ymin"].to_numpy()
-                x1 = pdf.loc[m, "xmax"].to_numpy()
-                y1 = pdf.loc[m, "ymax"].to_numpy()
-                res = np.zeros(len(x0), dtype=bool)
-                need = np.ones(len(x0), dtype=bool)
-                ir = (inner_by_qid or {}).get(qid)
-                if ir is not None:
-                    inside = ((x0 >= ir[0]) & (y0 >= ir[1])
-                              & (x1 <= ir[2]) & (y1 <= ir[3]))
-                    res[inside] = True
-                    need = ~inside
-                if need.any():
-                    res[need] = rects_intersect_pieces(
-                        x0[need], y0[need], x1[need], y1[need],
+        def rejects(batches: Iterator[pd.DataFrame]
+                    ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pdf
+                    continue
+                keep = np.zeros(len(pdf), dtype=bool)
+                for qid in pdf["query_id"].unique():
+                    m = (pdf["query_id"] == qid).to_numpy()
+                    keep[m] = rects_intersect_pieces(
+                        pdf.loc[m, "xmin"].to_numpy(),
+                        pdf.loc[m, "ymin"].to_numpy(),
+                        pdf.loc[m, "xmax"].to_numpy(),
+                        pdf.loc[m, "ymax"].to_numpy(),
                         pieces_by_qid[qid])
-                keep[m] = res
-            yield pdf[~keep]
+                yield pdf[~keep]
+
+        rejected = hard.mapInPandas(rejects, schema=schema)
 
     # distinct AFTER the kernel: duplicate (footprint, polygon) pairs
     # (pages sharing a footprint) must not multiply stream rows
     # through the left join; deduping the reject side is O(rejects)
-    rejected = cand.mapInPandas(rejects, schema=schema).distinct()
-    rejected = rejected.persist()
+    rejected = rejected.distinct().persist()
     if rejected.count() > MEMO_VERDICT_CAP:
         rejected.unpersist()
         return None
@@ -303,13 +328,17 @@ def spatial_join(pages: DataFrame, queries: DataFrame,
     # fallback keeps the legacy carry-the-WKB-column mode.
     pieces_by_qid: dict[int, list] | None = None
     inner_by_qid: dict[int, tuple] | None = None
+    bbox_by_qid: dict[int, tuple] = {}
     if has_polygons and broadcast_queries:
         from .predicates import inscribed_rect
         pieces_by_qid, inner_by_qid = {}, {}
         for r in (queries.where(F.col("kind") == "polygon")
-                  .select("query_id", "geometry").collect()):
+                  .select("query_id", "geometry",
+                          "qxmin", "qymin", "qxmax", "qymax").collect()):
             pcs = geometry_pieces(parse_wkb(bytes(r["geometry"])))
             pieces_by_qid[r["query_id"]] = pcs
+            bbox_by_qid[r["query_id"]] = (r["qxmin"], r["qymin"],
+                                          r["qxmax"], r["qymax"])
             ir = inscribed_rect(pcs)
             if ir is not None:
                 inner_by_qid[r["query_id"]] = ir
@@ -363,7 +392,7 @@ def spatial_join(pages: DataFrame, queries: DataFrame,
                 F.col("xmax"), F.col("ymax"))
         if refined is None and pieces_by_qid is not None and (
                 refine_memo is not False):
-            memoed = _memo_refine(joined, pages, queries,
+            memoed = _memo_refine(joined, pages, bbox_by_qid,
                                   pieces_by_qid, inner_by_qid)
         if refined is not None:
             joined = joined.where(refined)

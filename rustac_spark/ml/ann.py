@@ -228,6 +228,84 @@ def knn_ivf(vectors: DataFrame, queries: DataFrame, k: int = 5,
             .select(qid_col, "rank", id_col, "cosine_sim"))
 
 
+def _grouped_pairs(members: DataFrame, id_col: str, group_col: str,
+                   max_group: int, dedup: bool = True) -> DataFrame:
+    """Intra-group id pairs (a < b) from a (group, id) frame, skipping
+    groups larger than max_group — the in-group O(c²) guard every
+    blocked dedup needs (an over-cap group yields NO pairs; the caller
+    documents that recall contract). Two-step explode: materializing
+    all O(c²) pairs of a group as ONE array makes multi-hundred-MB
+    humongous allocations (G1 GC-locker thrash); exploding the outer
+    index first keeps per-row arrays ≤ c elements. ``dedup=False``
+    skips the distinct shuffle when each id belongs to exactly one
+    group (cluster blocking) so no pair can repeat."""
+    bkt = (members.groupBy(group_col)
+           .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+           .where((F.size("ids") >= 2) & (F.size("ids") <= max_group)))
+    ids = F.col("ids")
+    outer = bkt.select(
+        "ids", F.explode(F.sequence(F.lit(1), F.size(ids) - 1)).alias("i"))
+    inner = F.transform(F.sequence(F.col("i") + 1, F.size(ids)),
+                        lambda j: F.element_at(ids, j))
+    pairs = outer.select(F.element_at(ids, F.col("i")).alias("a"),
+                         F.explode(inner).alias("b"))
+    return pairs.distinct() if dedup else pairs
+
+
+def semdedup(vectors: DataFrame, threshold: float = 0.95,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             block_col: str | None = None,
+             centroids: np.ndarray | None = None,
+             n_centroids: int = 16, dim: int = 64,
+             kmeans_iters: int = 0,
+             max_cluster: int = 2_000) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication — cluster the embedding space, score cosine only
+    WITHIN a cluster, and keep one representative per ε-near group.
+    Returns the RETAINED rows of ``vectors`` (original schema).
+
+    Clustering: ``block_col`` uses an existing label/cluster column
+    (exact within-block contract); otherwise vectors are assigned to
+    their nearest of ``centroids`` (or spherical k-means via
+    ``kmeans_iters`` > 0, or the deterministic hyperplane fallback) —
+    the paper's k-means shape, one narrow Column-math pass.
+
+    Representative rule: a row is dropped iff a SMALLER-id row with
+    cosine ≥ threshold exists in its cluster, so the min id of each
+    near-group survives. (The paper keeps the member farthest from
+    the centroid; min-id is deterministic under reordering and keeps
+    the operator expressible as a NOT EXISTS against the exact same
+    predicate — the oracle the driver gate runs.)
+
+    Scale shape: pairs are generated per cluster with the capped
+    grouped-bucket pattern (never all-pairs); clusters larger than
+    ``max_cluster`` are left un-deduped rather than exploding O(c²)
+    — size n_centroids so clusters stay under the cap."""
+    v = vectors.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"),
+                       *([F.col(block_col)] if block_col else []))
+    if block_col is not None:
+        grouped = v.select(F.col(id_col), F.col(block_col).alias("_cl"))
+    else:
+        if centroids is None:
+            if kmeans_iters > 0:
+                centroids = kmeans_centroids(
+                    vectors, n_centroids, dim, iters=kmeans_iters,
+                    vec_col=vec_col)
+            else:
+                centroids = _hyperplanes(dim, n_centroids)
+        grouped = v.select(F.col(id_col), F.element_at(
+            _assign_centroids(F.col("v"), centroids, 1), 1).alias("_cl"))
+    cands = _grouped_pairs(grouped, id_col, "_cl", max_cluster,
+                           dedup=False)
+    va = v.select(F.col(id_col).alias("a"), F.col("v").alias("va"))
+    vb = v.select(F.col(id_col).alias("b"), F.col("v").alias("vb"))
+    drops = (cands.join(va, "a").join(vb, "b")
+             .where(F.round(cosine(F.col("va"), F.col("vb")), 6)
+                    >= threshold)
+             .select(F.col("b").alias(id_col)).distinct())
+    return vectors.join(drops, id_col, "left_anti")
+
+
 def near_dup_pairs_cosine(vectors: DataFrame, threshold: float = 0.95,
                           id_col: str = "vec_id", vec_col: str = "embedding",
                           block_col: str | None = "label",
@@ -275,25 +353,7 @@ def near_dup_pairs_cosine(vectors: DataFrame, threshold: float = 0.95,
         # O(c²) pair explosion; a true pair is lost only if EVERY
         # bucket it shares (its own + the 1-bit probes) is over cap
         vb = v.select(F.col(id_col), F.explode(probes).alias("bucket"))
-        bkt = (vb.groupBy("bucket")
-               .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
-               .where((F.size("ids") >= 2)
-                      & (F.size("ids") <= max_bucket)))
-        # two-step explode: materializing all O(c²) pairs of a bucket
-        # as ONE array makes multi-hundred-MB humongous allocations
-        # (G1 GC-locker thrash); exploding the outer index first keeps
-        # per-row arrays ≤ c elements
-        ids = F.col("ids")
-        outer = bkt.select(
-            "ids", F.explode(F.sequence(F.lit(1), F.size(ids) - 1))
-            .alias("i"))
-        inner = F.transform(
-            F.sequence(F.col("i") + 1, F.size(ids)),
-            lambda j: F.element_at(ids, j))
-        cands = (outer.select(
-                    F.element_at(ids, F.col("i")).alias("a"),
-                    F.explode(inner).alias("b"))
-                 .distinct())
+        cands = _grouped_pairs(vb, id_col, "bucket", max_bucket)
         va = v.select(F.col(id_col).alias("a"), F.col("v").alias("va"))
         vbt = v.select(F.col(id_col).alias("b"), F.col("v").alias("vb"))
         joined = cands.join(va, "a").join(vbt, "b")

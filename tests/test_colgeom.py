@@ -157,16 +157,16 @@ def test_compiled_join_plan_has_no_python_stage(spark, pages_geo,
     # for the whole stage) — locked by the join line staying small
     bhj = [l for l in plan.splitlines() if "BroadcastHashJoin" in l][0]
     assert "CASE WHEN" not in bhj
-    # default path is the MEMOIZED refine: the candidate stream stays
-    # JVM-side — the only MapInPandas (verdict kernel) sits under the
-    # small broadcast side, never above the main BroadcastHashJoin
+    # default path is the MEMOIZED refine: with every probe geometry
+    # in compile budget the reject computation runs the compiled SAT
+    # predicate, so NO stage anywhere in the plan crosses Python —
+    # the candidate stream is JVM-only and so is the broadcast side
     default = spatial_join(pages_geo, queries_df, page_cols=["url"])
     dplan = default._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" in dplan
-    main_join = [l for l in dplan.splitlines()
-                 if "BroadcastHashJoin" in l and "LeftOuter" in l][0]
-    above = dplan.splitlines()[:dplan.splitlines().index(main_join)]
-    assert not any("MapInPandas" in l for l in above)
+    assert "MapInPandas" not in dplan
+    # and the reject set rides a broadcast LEFT join over the stream
+    assert any("BroadcastHashJoin" in l and "LeftOuter" in l
+               for l in dplan.splitlines())
     # the explicit Arrow path still drives the whole stream through it
     arrow = spatial_join(pages_geo, queries_df, page_cols=["url"],
                          refine_memo=False)

@@ -222,6 +222,89 @@ def test_embedding_near_dup_lsh_blocking(spark):
     assert len(lsh) / len(exact) >= 0.9
 
 
+def test_semdedup_block_col_vs_python_oracle(spark):
+    """Label-blocked SemDeDup must equal the NOT EXISTS rule: drop a
+    row iff a smaller-id same-label row has cosine >= threshold."""
+    import numpy as np
+    from rustac_spark.ml.ann import semdedup
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(6, 16))
+    rows = []
+    i = 0
+    for gi, b in enumerate(base):
+        label = f"g{gi % 3}"
+        for _ in range(3):  # 3 near-identical members per base vector
+            rows.append((i, [float(x)
+                             for x in b + rng.normal(0, 0.005, 16)],
+                         label))
+            i += 1
+    vec = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+    def cos(u, v):
+        u, v = np.asarray(u), np.asarray(v)
+        return round(float(u @ v / (np.linalg.norm(u)
+                                    * np.linalg.norm(v))), 6)
+
+    thr = 0.99
+    expect = sorted(
+        r[0] for r in rows
+        if not any(o[0] < r[0] and o[2] == r[2]
+                   and cos(o[1], r[1]) >= thr for o in rows))
+    got = sorted(r.vec_id for r in
+                 semdedup(vec, threshold=thr, block_col="label").collect())
+    assert got == expect
+    # two bases share each label, so every label keeps >= 2 reps
+    assert len(got) >= 6
+    # original schema preserved
+    assert semdedup(vec, threshold=thr, block_col="label").columns == \
+        ["vec_id", "embedding", "label"]
+
+
+def test_semdedup_centroid_mode_drops_twins(spark):
+    import numpy as np
+    from rustac_spark.ml.ann import semdedup
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(25, 16))
+    rows = []
+    i = 0
+    for b in base:  # each base vector + a tiny perturbation = near-dup
+        rows.append((i, [float(x) for x in b])); i += 1
+        rows.append((i, [float(x) for x in b + rng.normal(0, 0.005, 16)]))
+        i += 1
+    vec = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    kept = sorted(r.vec_id for r in
+                  semdedup(vec, threshold=0.99, n_centroids=4,
+                           dim=16).collect())
+    # a twin pair is separated only if the two land in different
+    # clusters; with a 0.005 perturbation that is rare — most twins
+    # collapse to their min-id member
+    assert len(kept) <= 25 + 5
+    assert all(k in {r[0] for r in rows} for k in kept)
+    # deterministic
+    kept2 = sorted(r.vec_id for r in
+                   semdedup(vec, threshold=0.99, n_centroids=4,
+                            dim=16).collect())
+    assert kept == kept2
+
+
+def test_semdedup_over_cap_cluster_left_undeduped(spark):
+    import numpy as np
+    from rustac_spark.ml.ann import semdedup
+    rng = np.random.default_rng(13)
+    b = rng.normal(size=16)
+    rows = [(i, [float(x) for x in b + rng.normal(0, 0.001, 16)], "big")
+            for i in range(5)]
+    rows += [(10, [float(x) for x in rng.normal(size=16)], "small"),
+             (11, rows[0][1], "small")]
+    vec = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    kept = sorted(r.vec_id for r in
+                  semdedup(vec, threshold=0.99, block_col="label",
+                           max_cluster=3).collect())
+    # the 5-member cluster exceeds max_cluster=3 -> retained whole;
+    # the small cluster (2 dissimilar members) also keeps both
+    assert kept == [0, 1, 2, 3, 4, 10, 11]
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark):
     import numpy as np
     rng = [(i, [float(x) for x in np.sin(np.arange(16) * (i + 1) * 0.7)])
