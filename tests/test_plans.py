@@ -282,3 +282,35 @@ def test_dup_span_fraction_no_python(spark):
         F.lit("a b c d e f g h i j k l").alias("text"))
     plan = _physical(with_dup_span_fraction(df, n=10))
     assert "Python" not in plan and "mapInPandas" not in plan
+
+
+def test_decontaminate_broadcasts_grams_no_corpus_shuffle(spark):
+    """The benchmark gram set broadcasts; the corpus is scanned once
+    and never hash-partitioned — only the (small) hit rows aggregate
+    by doc id; the contaminated-id set broadcasts back (left_anti)."""
+    from rustac_spark.textops.ngram import decontaminate
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok"), F.col("id").cast("string"),
+                 F.lit(" a b c d e f g h i")).alias("text"))
+    bench = docs.where(F.col("doc_id") % 10 == 0).select("text")
+    plan = _physical(decontaminate(docs, bench, n=8))
+    assert "Python" not in plan and "mapInPandas" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+    # the only hash exchange is the hit-row aggregation by doc_id
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_semdedup_no_python_capped_pairs(spark):
+    """Cluster assignment and pair generation are pure Column; drops
+    rejoin left_anti — zero Python, no sort-merge join."""
+    from rustac_spark.ml.ann import semdedup
+    vec = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") % 7 + i).cast("double")
+                  for i in range(8)]).alias("embedding"),
+        (F.col("id") % 5).cast("string").alias("label"))
+    plan = _physical(semdedup(vec, threshold=0.99, block_col="label"))
+    assert "Python" not in plan and "mapInPandas" not in plan
+    assert "SortMergeJoin" not in plan
