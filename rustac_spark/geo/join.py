@@ -88,6 +88,11 @@ def _reference_point_dedup(res: int, hot: set[int] | None = None,
 # caller falls back to the inline Arrow refine.
 MEMO_VERDICT_CAP = 2_000_000
 
+# Below this many rejects the set is collected driver-side (Arrow)
+# and rebroadcast from a LocalRelation, so no persisted frame
+# outlives the plan build (~40 B/row -> ≤8 MB driver transfer).
+MEMO_COLLECT_CAP = 200_000
+
 
 def _memo_refine(joined: DataFrame, pages: DataFrame,
                  bbox_by_qid: dict[int, tuple],
@@ -194,10 +199,24 @@ def _memo_refine(joined: DataFrame, pages: DataFrame,
     # (pages sharing a footprint) must not multiply stream rows
     # through the left join; deduping the reject side is O(rejects)
     rejected = rejected.distinct().persist()
-    if rejected.count() > MEMO_VERDICT_CAP:
+    n_rejected = rejected.count()
+    if n_rejected > MEMO_VERDICT_CAP:
         rejected.unpersist()
         return None
-    marked = F.broadcast(rejected.withColumn("__pip_bad", F.lit(True)))
+    if n_rejected <= MEMO_COLLECT_CAP:
+        # land the reject set driver-side (Arrow toPandas) so the
+        # broadcast builds from a LocalRelation: no persisted frame
+        # outlives the call (a long-lived session — e.g. the HTTP
+        # server — would otherwise leak one cached RDD per search),
+        # and execution doesn't re-touch the cached subtree at all
+        pdf = rejected.toPandas()
+        rejected.unpersist()
+        local = spark.createDataFrame(pdf) if len(pdf) else \
+            spark.createDataFrame([], rejected.schema)
+        marked = F.broadcast(local.withColumn("__pip_bad", F.lit(True)))
+    else:
+        marked = F.broadcast(
+            rejected.withColumn("__pip_bad", F.lit(True)))
     keys = ["query_id", "xmin", "ymin", "xmax", "ymax"]
     return (joined.join(marked, keys, "left")
             .where((F.col("kind") != F.lit("polygon"))

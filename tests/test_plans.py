@@ -73,16 +73,17 @@ def test_spatial_join_is_broadcast_and_single_scan(spark, queries_df):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     # the big (pages) side is scanned exactly once AT EXECUTION: the
-    # memoized reject side was materialized eagerly at plan-build time
-    # and rides in as an InMemoryRelation, whose toString embeds its
-    # ORIGINAL (pre-cache) subtree — count scans outside that cached
-    # description only
+    # memoized reject side was materialized eagerly at plan-build
+    # time and (small by construction) collected driver-side, so it
+    # rides in as a LocalRelation — execution never re-touches the
+    # pages table for it. Over-MEMO_COLLECT_CAP reject sets ride as
+    # an InMemoryRelation instead (whose toString embeds the original
+    # pre-cache subtree — count scans outside that description).
     live = plan.split("InMemoryRelation")[0]
     assert live.count("pages_sf0.001.parquet") == 1
-    # the reject side must actually be served from cache
-    assert "InMemoryTableScan" in plan
+    assert ("LocalTableScan" in plan or "Scan ExistingRDD" in plan
+            or "InMemoryTableScan" in plan)
     # no shuffle on the pages side: the only Exchanges are broadcasts
-    # (the cached description may mention its own internal exchange)
     assert "Exchange hashpartitioning" not in live
 
 
@@ -314,3 +315,20 @@ def test_semdedup_no_python_capped_pairs(spark):
     plan = _physical(semdedup(vec, threshold=0.99, block_col="label"))
     assert "Python" not in plan and "mapInPandas" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_memo_refine_leaves_no_persisted_rdds(spark, queries_df):
+    """The reject set is collected driver-side and rebroadcast from a
+    LocalRelation, so building (and running) the default polygon join
+    must leave NO persisted RDD behind — a long-lived session (the
+    HTTP server) would otherwise leak one cached frame per search."""
+    from rustac_spark import DATA_DIR
+    from rustac_spark.geocode import with_geocode
+    spark.catalog.clearCache()
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    pages = with_geocode(
+        spark.read.parquet(f"{DATA_DIR}/pages_sf0.001.parquet"))
+    out = spatial_join(pages, queries_df, page_cols=["url"])
+    assert out.count() > 0
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == before
