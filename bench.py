@@ -177,40 +177,44 @@ def main() -> None:
     # python-worker spin-up, broadcast build); then N measured warm
     # passes. This host's documented noisy windows (BENCH/BASELINE.md:
     # CPU-steal stalls of 5-30 s that move BETWEEN stages run-to-run)
-    # mean a single pass — and even best-of-3 whole-pass — records
-    # host steal, not engine cost (r3/r4 recorded 17-18 s while
-    # quiet-window runs measured ~9.5 s). Steal hits stages
-    # independently, so the steal-resistant estimator is the sum of
-    # PER-STAGE minima across passes: a stage's minimum over 5 passes
-    # converges on its true cost as long as any one pass ran that
-    # stage unstalled. That composed figure is the headline; the best
-    # whole-pass total is reported alongside as a consistency check
-    # (on a quiet host the two agree to within noise).
+    # mean a single pass records host steal, not engine cost. The
+    # HEADLINE (`value`) is the best whole-pass total — a wall time one
+    # real end-to-end run actually achieved. The sum of PER-STAGE
+    # minima across passes (a steal-resistant composite no single pass
+    # achieved) is published alongside as `composed_stage_min_sec` with
+    # per-stage minima under `queries`: it is the noise diagnostic —
+    # on a quiet host the two agree to within noise.
     n_passes = int(os.environ.get("RUSTAC_BENCH_PASSES", "5"))
     warm_dir = f"{bench_root}/warm_{sf}_{cpus}_{uuid.uuid4().hex[:8]}"
     run_pipeline(warm_dir)
     shutil.rmtree(warm_dir, ignore_errors=True)
     stage_min: dict[str, float] = {}
     pass_totals: list[float] = []
+    pass_stages: list[dict[str, float]] = []
     for _ in range(n_passes):
         rd = f"{bench_root}/run_{sf}_{cpus}_{uuid.uuid4().hex[:8]}"
         p = run_pipeline(rd)
         pass_totals.append(round(sum(p.stage_seconds.values()), 3))
+        pass_stages.append(dict(p.stage_seconds))
         for k, v in p.stage_seconds.items():
             stage_min[k] = min(v, stage_min.get(k, float("inf")))
         shutil.rmtree(rd, ignore_errors=True)
 
-    total = sum(stage_min.values())
+    best_i = min(range(len(pass_totals)), key=lambda i: pass_totals[i])
+    total = pass_totals[best_i]
+    composed = sum(stage_min.values())
     result = {
-        "metric": "spatial-join+tile pipeline wall time",
+        "metric": "spatial-join+tile pipeline wall time (best pass)",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": {k: round(v, 3) for k, v in stage_min.items()},
+        "queries": {k: round(v, 3) for k, v in pass_stages[best_i].items()},
         "sf": sf,
         "cpus": cpus,
         "n_pages": n_pages,
         "pages_per_sec": round(n_pages / total, 1) if total else None,
-        "best_pass_sec": min(pass_totals),
+        "best_pass_sec": total,
+        "composed_stage_min_sec": round(composed, 3),
+        "stage_min_sec": {k: round(v, 3) for k, v in stage_min.items()},
         "pass_totals_sec": pass_totals,
     }
     print(json.dumps(result))

@@ -9,7 +9,8 @@ local[2]→local[8] and local[4]→local[16] — so the evidence carries
 two measurements of the same strong-scaling claim rather than one.
 
 Each bench.py invocation is already noise-robust internally (warm
-pass + N measured passes, per-stage minima composed), so one
+pass + N measured passes, headline = best whole pass, per-stage
+minima published as the noise diagnostic), so one
 invocation per parallelism level suffices; RUSTAC_SCALE_RUNS raises
 that if wanted. Runs are resumable across invocations via
 scaling_runs.jsonl (same rev + input only — the import-taint
@@ -207,7 +208,7 @@ core (strong-scaling methodology; see Input sizing).
 |---|---|---|---|---|---|---|---|
 {rows}
 
-Per-stage seconds (per-stage minima within each invocation):
+Per-stage seconds (best whole pass within each invocation):
 {stage_rows}
 
 Input sizing: strong-scaling needs enough per-core work that the

@@ -26,6 +26,13 @@ from .cells import DEFAULT_RES, cell_of_point, cell_size_deg, k_ring
 
 EARTH_RADIUS_KM = 6371.0088
 
+# Diagnostics from the most recent knn_cells plan build (driver-side
+# only, no plan change): how many queries the ring disk satisfied
+# outright, how many needed the bounded-band redo (dmax > safe), and
+# how many underflowed (< k candidates → unbounded redo). bench.py
+# prints this per pass so fallback-trigger cost is visible.
+LAST_STATS: dict[str, int] = {}
+
 
 def haversine_km(lat1, lon1, lat2, lon2):
     """Pure-Column haversine distance (km)."""
@@ -109,8 +116,9 @@ def knn_cells(pages: DataFrame, queries: DataFrame, k: int = 5,
             n + 1, d if dmax is None else max(dmax, d))
     flagged: dict[int, float | None] = {}
     bands: list[tuple[float, float, float]] = []  # (qlon, qlat, dmax)
-    for r in queries.select("query_id", F.col("qxmin").alias("qlon"),
-                            F.col("qymin").alias("qlat")).collect():
+    qrows = queries.select("query_id", F.col("qxmin").alias("qlon"),
+                           F.col("qymin").alias("qlat")).collect()
+    for r in qrows:
         n, dmax = stats.get(r["query_id"], (0, None))
         worst = min(90.0, abs(r["qlat"]) + rings * dy)
         safe = base_km * math.cos(math.radians(worst))
@@ -123,6 +131,13 @@ def knn_cells(pages: DataFrame, queries: DataFrame, k: int = 5,
             # (candidates ⊆ pages) — re-run over that band only
             flagged[r["query_id"]] = float(dmax)
             bands.append((r["qlon"], r["qlat"], float(dmax)))
+    LAST_STATS.clear()
+    LAST_STATS.update({
+        "queries": len(qrows),
+        "ok": len(qrows) - len(flagged),
+        "redo_bounded": len(bands),
+        "redo_unbounded": len(flagged) - len(bands),
+    })
     out_cols = ["query_id", "rank", "url", "dist_km"]
     if not flagged:
         return (spark.createDataFrame(topk_rows, topk_schema)

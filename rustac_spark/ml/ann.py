@@ -265,7 +265,9 @@ def semdedup(vectors: DataFrame, threshold: float = 0.95,
     Returns the RETAINED rows of ``vectors`` (original schema).
 
     Clustering: ``block_col`` uses an existing label/cluster column
-    (exact within-block contract); otherwise vectors are assigned to
+    (exact within-block contract; rows with a NULL block value are
+    treated as unclustered and always retained — SQL equality on the
+    block never matches NULL); otherwise vectors are assigned to
     their nearest of ``centroids`` (or spherical k-means via
     ``kmeans_iters`` > 0, or the deterministic hyperplane fallback) —
     the paper's k-means shape, one narrow Column-math pass.
@@ -284,7 +286,11 @@ def semdedup(vectors: DataFrame, threshold: float = 0.95,
     v = vectors.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"),
                        *([F.col(block_col)] if block_col else []))
     if block_col is not None:
-        grouped = v.select(F.col(id_col), F.col(block_col).alias("_cl"))
+        # NULL block = "unclustered": excluded from pair generation
+        # (always retained), matching the NOT EXISTS oracle where
+        # `o.label = e.label` never matches a NULL label.
+        grouped = (v.where(F.col(block_col).isNotNull())
+                   .select(F.col(id_col), F.col(block_col).alias("_cl")))
     else:
         if centroids is None:
             if kmeans_iters > 0:

@@ -135,14 +135,18 @@ class TransactionClient:
             return self.table.create(items)  # PUT on an empty table
         aligned = _align(items, self.read())
         sep = "\x1f"  # cannot appear in STAC ids/collection ids
+        null_sentinel = "\x00null"  # distinct from every real id, incl. ''
         # NULL collections must key identically on both sides:
         # concat_ws SKIPS nulls (yielding a sep-less 'id' that a
         # Python-side 'None\x1fid' would never match, leaving stale
-        # versions behind) — so both sides map NULL → '' explicitly
-        keys = [f"{r['collection'] or ''}{sep}{r['id']}"
+        # versions behind). Map NULL to a sentinel that is NOT '' so a
+        # NULL-collection item and an ''-collection item sharing an id
+        # never delete each other.
+        keys = [(null_sentinel if r["collection"] is None
+                 else r["collection"]) + sep + r["id"]
                 for r in aligned.select("collection", "id").collect()]
         self.table.delete_where(
-            F.concat(F.coalesce(F.col("collection"), F.lit("")),
+            F.concat(F.coalesce(F.col("collection"), F.lit(null_sentinel)),
                      F.lit(sep), F.col("id"))
             .isin(keys))
         return self.table.append(aligned)

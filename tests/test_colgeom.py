@@ -172,3 +172,25 @@ def test_compiled_join_plan_has_no_python_stage(spark, pages_geo,
                          refine_memo=False)
     assert "MapInPandas" in (
         arrow._jdf.queryExecution().executedPlan().toString())
+
+
+def test_reject_set_cached_across_calls(spark, pages_geo, queries_df):
+    """Repeated spatial_join over the same pages plan + geometry set
+    (the HTTP-server-per-request shape) reuses the memoized reject
+    set: the second build runs no eager Spark job."""
+    from rustac_spark.geo import join as join_mod
+    join_mod._REJECT_CACHE.clear()
+    first = spatial_join(pages_geo, queries_df, page_cols=["url"])
+    assert len(join_mod._REJECT_CACHE) == 1
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    second = spatial_join(pages_geo, queries_df, page_cols=["url"],
+                          has_polygons=True)
+    # plan build must be action-free on the cache hit (the polygon
+    # WKB collect still runs; allow only that single bounded job)
+    after = tracker.getJobIdsForGroup(None)
+    assert len(after) - len(before) <= 1
+    assert len(join_mod._REJECT_CACHE) == 1
+    a = sorted(map(tuple, first.collect()))
+    b = sorted(map(tuple, second.collect()))
+    assert a == b and len(a) > 0
