@@ -22,16 +22,35 @@ import math
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .cells import DEFAULT_RES, cell_of_point, cell_size_deg, k_ring
+from .cells import (DEFAULT_RES, cell_of_point, cell_size_deg, cover_bbox,
+                    k_ring)
 
 EARTH_RADIUS_KM = 6371.0088
 
 # Diagnostics from the most recent knn_cells plan build (driver-side
 # only, no plan change): how many queries the ring disk satisfied
-# outright, how many needed the bounded-band redo (dmax > safe), and
-# how many underflowed (< k candidates → unbounded redo). bench.py
-# prints this per pass so fallback-trigger cost is visible.
+# outright, how many needed the bounded-band redo (dmax > safe), how
+# many underflowed (< k candidates → escalating banded redo), and how
+# many escalation iterations the underflow redo took. bench.py prints
+# this per pass so fallback-trigger cost is visible.
 LAST_STATS: dict[str, int] = {}
+
+# Half the earth's circumference: a search radius at or beyond this
+# covers every point, so the banded redo is provably complete.
+_HALF_EARTH_KM = math.pi * EARTH_RADIUS_KM
+
+# First escalation radius for underflow queries (km). Conservative
+# floor: dense corpora satisfy the first iteration outright; sparse
+# regions escalate ×4 per round (≤5 rounds to whole-earth coverage).
+UNDERFLOW_DMAX0_KM = 250.0
+
+# Queries whose ring disk reaches this latitude get LAT-BAND candidate
+# cells (cover_bbox over the full longitude circle, ±dmax0/111° of
+# latitude) instead of the k-ring IN THE SAME candidate join: at high
+# |lat| the ring's guaranteed radius collapses with cos(lat), so the
+# ring path would flag a redo on effectively every call — the band
+# makes the common polar case single-job too.
+BAND_LAT_DEG = 80.0
 
 
 def haversine_km(lat1, lon1, lat2, lon2):
@@ -42,6 +61,73 @@ def haversine_km(lat1, lon1, lat2, lon2):
          + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2))
          * F.sin(dlmb) * F.sin(dlmb))
     return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def _band_pred(qlon: float, qlat: float, dmax: float):
+    """Driver-literal lat/lon band containing the whole disk of radius
+    `dmax` km around (qlon, qlat) — plain range predicates that push
+    into the parquet scan. Same formulas as knn_bruteforce_bounded
+    (which re-checks per candidate), so this scan-side prune is a
+    superset of the join-side band and never drops a true candidate."""
+    if dmax >= _HALF_EARTH_KM:
+        return F.lit(True)
+    dlat = dmax / 111.0
+    band_lat = min(89.9999, abs(qlat) + dlat)
+    dlon = min(360.0, dmax / (111.0 * math.cos(
+        math.radians(band_lat))) * (math.pi / 2.0))
+    return ((F.col("lat") >= qlat - dlat)
+            & (F.col("lat") <= qlat + dlat)
+            & (((F.col("lon") >= qlon - dlon)
+                & (F.col("lon") <= qlon + dlon))
+               | (F.col("lon") >= qlon + 360.0 - dlon)
+               | (F.col("lon") <= qlon - 360.0 + dlon)))
+
+
+def _redo_underflow(pages: DataFrame, pending: list[tuple[int, float, float]],
+                    k: int, dmax0: float) -> tuple[list, int]:
+    """Exact kNN for queries whose ring disk held < k candidates,
+    WITHOUT an unbounded full-table rescan: run the bounded
+    brute-force over an escalating per-query radius, accepting a
+    query once its found k-th distance is ≤ the radius (every page
+    outside the radius-`d` band is > d away since great-circle
+    distance ≥ 111.195 km per degree of latitude — the band provably
+    contains the true top-k), else widen ×4. Each iteration's scan is
+    pruned by the driver-literal OR of the pending bands, so a sparse
+    polar probe costs a few small banded scans instead of a second
+    full scan of pages. Terminates at half-earth radius (band = the
+    whole table → unconditionally exact).
+
+    Returns (accepted Row list in knn output shape, iterations)."""
+    spark = pages.sparkSession
+    dmax = {qid: dmax0 for qid, _, _ in pending}
+    accepted: list = []
+    iters = 0
+    while pending:
+        iters += 1
+        pred = _band_pred(*pending[0][1:], dmax[pending[0][0]])
+        for qid, qlon, qlat in pending[1:]:
+            pred = pred | _band_pred(qlon, qlat, dmax[qid])
+        q = F.broadcast(spark.createDataFrame(
+            [(qid, qlon, qlat, min(dmax[qid], _HALF_EARTH_KM))
+             for qid, qlon, qlat in pending],
+            "query_id long, qxmin double, qymin double, dmax double"))
+        got = knn_bruteforce_bounded(pages.where(pred), q, k).collect()
+        per: dict[int, list] = {}
+        for r in got:
+            per.setdefault(r["query_id"], []).append(r)
+        nxt = []
+        for qid, qlon, qlat in pending:
+            rows_q = per.get(qid, [])
+            kth = max((r["dist_km"] for r in rows_q), default=None)
+            if dmax[qid] >= _HALF_EARTH_KM or (
+                    len(rows_q) == k and kth is not None
+                    and kth <= dmax[qid]):
+                accepted.extend(rows_q)
+            else:
+                dmax[qid] = min(dmax[qid] * 4.0, _HALF_EARTH_KM)
+                nxt.append((qid, qlon, qlat))
+        pending = nxt
+    return accepted, iters
 
 
 def _rank_topk(cand: DataFrame, k: int) -> DataFrame:
@@ -72,9 +158,14 @@ def knn_cells(pages: DataFrame, queries: DataFrame, k: int = 5,
 
     Exactness bound: the disk of `rings` cells contains every page
     within (rings-1)·min_cell_edge degrees of the query, scaled per
-    query by cos(lat) for longitude shrinkage; queries whose k-th
-    neighbour might lie outside are re-run exactly over a bounded
-    lat/lon band.
+    query by cos(lat) for longitude shrinkage. Queries whose ring
+    disk reaches |lat| ≥ BAND_LAT_DEG — where that cos scaling
+    collapses the guarantee and forced a redo on every call — take a
+    full-longitude lat band of cells in the SAME candidate join
+    instead. Queries whose k-th neighbour might still lie outside
+    their guarantee are re-run exactly over a bounded lat/lon band
+    (escalating when the ring underflowed below k candidates, never
+    an unbounded rescan).
 
     Physical shape: the candidate top-k (≤ |queries|·k rows, tiny by
     the small-queries contract) is collected ONCE; the per-query
@@ -84,13 +175,27 @@ def knn_cells(pages: DataFrame, queries: DataFrame, k: int = 5,
     session (a r3-advice fix: the earlier persist was never
     unpersisted). Eager like spatio_temporal_join's bound collection.
     """
+    dx, dy = cell_size_deg(res)
+    base_km = rings * min(dx, dy) * 111.0 * 0.5
+    dmax0 = max(UNDERFLOW_DMAX0_KM, 4.0 * base_km)
+    band_dlat = dmax0 / 111.0
     pc = pages.select("url", "lat", "lon").withColumn(
         "cell", cell_of_point(F.col("lon"), F.col("lat"), res))
+    # high-|lat| queries take the full-longitude lat band (no
+    # antimeridian wrap to handle; _xi/_yi clamp at the poles), all
+    # others the k-ring — one conditional cells array, ONE equi-join
+    banded_cond = (F.abs(F.col("qlat")) + F.lit(float(rings) * dy)
+                   >= F.lit(BAND_LAT_DEG))
     q = (queries.select(
             "query_id",
             F.col("qxmin").alias("qlon"), F.col("qymin").alias("qlat"))
          .withColumn("qcell", cell_of_point(F.col("qlon"), F.col("qlat"), res))
-         .withColumn("cell", F.explode(k_ring(F.col("qcell"), rings, res))))
+         .withColumn("cell", F.explode(F.when(
+             banded_cond,
+             cover_bbox(F.lit(-180.0), F.col("qlat") - F.lit(band_dlat),
+                        F.lit(180.0), F.col("qlat") + F.lit(band_dlat),
+                        res)
+         ).otherwise(k_ring(F.col("qcell"), rings, res)))))
     cand = (pc.join(F.broadcast(q.drop("qcell")), "cell")
             .withColumn("dist_km", haversine_km(
                 F.col("lat"), F.col("lon"), F.col("qlat"), F.col("qlon"))))
@@ -102,12 +207,10 @@ def knn_cells(pages: DataFrame, queries: DataFrame, k: int = 5,
     # safe radius: (rings) cells minus one diagonal. 1° of longitude is
     # 111·cos(lat) km, so the equatorial bound overstates coverage at
     # high latitude (a 39 km disk at 84° spans ~10 cells of longitude,
-    # far outside the ring). Scale per query by the WORST latitude the
-    # ring can reach (|qlat| + rings·dy, capped at the pole) — at the
-    # pole the bound collapses to 0 and every query falls back to the
-    # exact (bounded) brute-force path.
-    dx, dy = cell_size_deg(res)
-    base_km = rings * min(dx, dy) * 111.0 * 0.5
+    # far outside the ring) — scale ring queries by the WORST latitude
+    # the ring can reach. Banded queries' guarantee is the band radius
+    # itself: every page outside the ±dmax0/111° lat band is provably
+    # > dmax0 km away (great-circle distance ≥ 111.195 km/° of lat).
     stats: dict[int, tuple[int, float | None]] = {}
     for r in topk_rows:
         n, dmax = stats.get(r["query_id"], (0, None))
@@ -118,13 +221,18 @@ def knn_cells(pages: DataFrame, queries: DataFrame, k: int = 5,
     bands: list[tuple[float, float, float]] = []  # (qlon, qlat, dmax)
     qrows = queries.select("query_id", F.col("qxmin").alias("qlon"),
                            F.col("qymin").alias("qlat")).collect()
+    n_banded = 0
     for r in qrows:
         n, dmax = stats.get(r["query_id"], (0, None))
-        worst = min(90.0, abs(r["qlat"]) + rings * dy)
-        safe = base_km * math.cos(math.radians(worst))
+        if abs(r["qlat"]) + rings * dy >= BAND_LAT_DEG:
+            n_banded += 1
+            safe = dmax0
+        else:
+            worst = min(90.0, abs(r["qlat"]) + rings * dy)
+            safe = base_km * math.cos(math.radians(worst))
         if n < k:
             # underflow: dmax is only the n-th distance, no valid
-            # bound — re-run unbounded
+            # bound — escalating banded redo below
             flagged[r["query_id"]] = None
         elif dmax > safe:
             # full top-k: its k-th distance bounds the true k-th
@@ -134,9 +242,10 @@ def knn_cells(pages: DataFrame, queries: DataFrame, k: int = 5,
     LAST_STATS.clear()
     LAST_STATS.update({
         "queries": len(qrows),
+        "banded": n_banded,
         "ok": len(qrows) - len(flagged),
         "redo_bounded": len(bands),
-        "redo_unbounded": len(flagged) - len(bands),
+        "redo_underflow": len(flagged) - len(bands),
     })
     out_cols = ["query_id", "rank", "url", "dist_km"]
     if not flagged:
@@ -145,36 +254,39 @@ def knn_cells(pages: DataFrame, queries: DataFrame, k: int = 5,
     ok = spark.createDataFrame(
         [r for r in topk_rows if r["query_id"] not in flagged],
         topk_schema)
-    redo_pages = pages
-    if len(bands) == len(flagged):
-        # every flagged query is bounded and its band is a DRIVER
-        # literal → OR of plain range predicates that push into the
-        # parquet scan (row-group skipping on lat/lon stats). Same
-        # formulas as knn_bruteforce_bounded, so this is a superset
-        # of each query's exact band.
-        preds = []
-        for qlon, qlat, dmax in bands:
-            dlat = dmax / 111.0
-            band_lat = min(89.9999, abs(qlat) + dlat)
-            dlon = min(360.0, dmax / (111.0 * math.cos(
-                math.radians(band_lat))) * (math.pi / 2.0))
-            p = (F.col("lat") >= qlat - dlat) & \
-                (F.col("lat") <= qlat + dlat) & \
-                (((F.col("lon") >= qlon - dlon)
-                  & (F.col("lon") <= qlon + dlon))
-                 | (F.col("lon") >= qlon + 360.0 - dlon)
-                 | (F.col("lon") <= qlon - 360.0 + dlon))
-            preds.append(p)
-        pre = preds[0]
-        for p in preds[1:]:
-            pre = pre | p
-        redo_pages = pages.where(pre)
-    redo = queries.join(
-        F.broadcast(spark.createDataFrame(
-            list(flagged.items()), "query_id long, dmax double")),
-        "query_id")
-    redone = knn_bruteforce_bounded(redo_pages, redo, k)
-    return ok.select(*out_cols).unionByName(redone)
+    parts = [ok.select(*out_cols)]
+    if bands:
+        # bounded redo (lazy): each band is a DRIVER literal → OR of
+        # plain range predicates that push into the parquet scan
+        # (row-group skipping on lat/lon stats); the per-candidate
+        # in_band check inside knn_bruteforce_bounded re-applies the
+        # exact per-query band.
+        pred = _band_pred(*bands[0])
+        for b in bands[1:]:
+            pred = pred | _band_pred(*b)
+        bq = queries.join(
+            F.broadcast(spark.createDataFrame(
+                [(q, d) for q, d in flagged.items() if d is not None],
+                "query_id long, dmax double")),
+            "query_id")
+        parts.append(knn_bruteforce_bounded(pages.where(pred), bq, k))
+    underflow = [(r["query_id"], r["qlon"], r["qlat"]) for r in qrows
+                 if r["query_id"] in flagged
+                 and flagged[r["query_id"]] is None]
+    if underflow:
+        # underflow redo (eager, bounded): the old path re-ran these
+        # UNBOUNDED — a second full scan of pages per call when any
+        # sparse/polar probe underflowed. The escalating banded redo
+        # keeps every rescan pruned to the pending lat/lon bands.
+        rows, iters = _redo_underflow(pages, underflow, k, dmax0)
+        LAST_STATS["underflow_iters"] = iters
+        uf_schema = "query_id long, rank int, url string, dist_km double"
+        parts.append(spark.createDataFrame(rows, uf_schema) if rows
+                     else spark.createDataFrame([], uf_schema))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def knn_bruteforce_bounded(pages: DataFrame, queries: DataFrame,

@@ -218,9 +218,12 @@ def test_knn_cells_polar_adversarial(spark):
     assert got == ["near", "out_close"]
 
 
-def test_knn_cells_underflow_unbounded_fallback(spark):
+def test_knn_cells_underflow_escalating_redo(spark):
     """n < k means the candidate dmax is NOT a k-th-distance bound:
-    the re-run must be unbounded (far page still found)."""
+    the redo escalates its banded radius until provably complete
+    (multiple iterations here — page b is ~12,900 km away, far past
+    the first 250 km band) and still finds every page."""
+    from rustac_spark.geo.knn import LAST_STATS
     pages = spark.createDataFrame(
         [("a", 10.0, 10.0), ("b", -40.0, 120.0)],
         "url string, lat double, lon double")
@@ -231,6 +234,23 @@ def test_knn_cells_underflow_unbounded_fallback(spark):
     exp = [r["url"] for r in knn_bruteforce(pages, queries, k=5)
            .orderBy("rank").collect()]
     assert got == exp and len(got) == 2
+    assert LAST_STATS["redo_underflow"] == 1
+    assert LAST_STATS["underflow_iters"] > 1
+
+
+def test_knn_cells_polar_band_single_join(spark, pages_geo, queries_df):
+    """Polar probes (|lat| near 90) take lat-band candidate cells in
+    the SAME join — no redo of any kind — and stay exact. This locks
+    the single-job plan shape for the bench probe set."""
+    from rustac_spark.geo.knn import LAST_STATS
+    qpts = queries_df.where(F.col("kind") == "point")
+    got = {(r["query_id"], r["rank"]): r["url"]
+           for r in knn_cells(pages_geo, qpts, k=5).collect()}
+    exp = {(r["query_id"], r["rank"]): r["url"]
+           for r in knn_bruteforce(pages_geo, qpts, k=5).collect()}
+    assert got == exp
+    assert LAST_STATS["banded"] >= 3      # the three polar probes
+    assert LAST_STATS["ok"] == LAST_STATS["queries"]  # zero redo
 
 
 def test_knn_bounded_band_wraps_antimeridian(spark):
