@@ -40,23 +40,39 @@ def fetch_search_features(url: str, search_body: dict | None = None,
 
     Next-link semantics per the STAC API spec (and api.rs:452-466):
     the link may carry its own href/body; ``merge: true`` means the
-    link body overlays the original search body."""
+    link body overlays the original search body.
+
+    Page n+1 is PREFETCHED on a single background thread as soon as
+    page n's next link is known, while the caller consumes page n's
+    features — the one-ahead analogue of the reference's buffered
+    page channel (api.rs:23,419-448). Remote latency then overlaps
+    parse/spool time instead of adding to it, page for page. The
+    protocol itself stays serial (each next link comes from the
+    previous response), so one worker is the maximum useful depth."""
+    from concurrent.futures import ThreadPoolExecutor
+
     base_body = dict(search_body or {})
     page_url = url.rstrip("/") + "/search"
     body = base_body
-    for _ in range(max_pages):
-        doc = _post_json(page_url, body, timeout)
-        yield from doc.get("features", [])
-        nxt = next((l for l in doc.get("links", [])
-                    if l.get("rel") == "next"), None)
-        if nxt is None:
-            return
-        page_url = nxt["href"]
-        body = dict(nxt.get("body") or {})
-        if nxt.get("merge"):
-            merged = dict(base_body)
-            merged.update(body)
-            body = merged
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(_post_json, page_url, body, timeout)
+        for page_no in range(max_pages):
+            doc = fut.result()
+            nxt = next((l for l in doc.get("links", [])
+                        if l.get("rel") == "next"), None)
+            if nxt is not None and page_no + 1 < max_pages:
+                # launch the next fetch BEFORE yielding this page so
+                # the download runs while the caller processes rows
+                page_url = nxt["href"]
+                body = dict(nxt.get("body") or {})
+                if nxt.get("merge"):
+                    merged = dict(base_body)
+                    merged.update(body)
+                    body = merged
+                fut = pool.submit(_post_json, page_url, body, timeout)
+            yield from doc.get("features", [])
+            if nxt is None or page_no + 1 >= max_pages:
+                return
 
 
 def read_stac_api(spark, url: str, search_body: dict | None = None,

@@ -86,3 +86,24 @@ def test_read_stac_api_dataframe(spark, mock_api):
     # nested properties survive the distributed NDJSON parse
     seqs = {r[0] for r in df.select("properties.page_seq").collect()}
     assert seqs == set(range(6))
+
+
+def test_fetch_prefetches_next_page(mock_api):
+    """Page n+1's request must reach the server while page n is still
+    being consumed (one-page-ahead prefetch), and the feature order /
+    merge semantics must be unchanged."""
+    import time
+
+    from rustac_spark.stac.api_client import fetch_search_features
+
+    gen = fetch_search_features(mock_api, {"collections": ["c1"]})
+    first = next(gen)  # page 0 downloaded; page 1 fetch launched
+    deadline = time.time() + 5.0
+    while len(_Handler.calls) < 2 and time.time() < deadline:
+        time.sleep(0.01)
+    # page 1 was requested before page 0 was consumed
+    assert len(_Handler.calls) >= 2
+    rest = list(gen)
+    assert ([first["id"]] + [f["id"] for f in rest]
+            == [f"item-{i}" for i in range(6)])
+    assert _Handler.calls[2]["collections"] == ["c1"]  # merge preserved
