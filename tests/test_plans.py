@@ -214,45 +214,44 @@ def test_dedup_retain_no_forced_broadcast(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
-def test_knn_polar_fallback_scan_pushes_lat_band(spark, tmp_path):
-    """Polar queries trip knn_cells' cos(lat)-scaled exactness check
-    and re-run over a bounded lat/lon band. The bands are DRIVER
-    literals OR-combined into one predicate, so the fallback's pages
-    scan must show them as PushedFilters (row-group pruning on lat
-    stats at 100 TB) — and the whole fallback is ONE extra pages pass,
-    not one per flagged query."""
-    import numpy as np
+def test_knn_bounded_redo_scan_pushes_lat_band(spark, tmp_path):
+    """A mid-latitude query whose k-th candidate distance exceeds the
+    ring's cos(lat)-scaled guarantee re-runs over a bounded lat/lon
+    band. The band is a DRIVER literal, so the redo's pages scan must
+    show it as PushedFilters (row-group pruning on lat stats at
+    100 TB), and the returned plan re-scans pages exactly ONCE (the
+    candidate top-k was already collected at plan build). Polar
+    probes no longer reach this branch at all — they take lat-band
+    candidate cells inside the single candidate join
+    (test_spatial.test_knn_cells_polar_band_single_join)."""
     import pandas as pd
 
-    from rustac_spark.geo.knn import knn_cells
+    from rustac_spark.geo.knn import LAST_STATS, knn_bruteforce, knn_cells
 
-    rng = np.random.default_rng(7)
-    pdf = pd.DataFrame({
-        "url": [f"u{i}" for i in range(4000)],
-        "lat": rng.uniform(-85, 85, 4000),
-        "lon": rng.uniform(-180, 180, 4000),
-    })
+    # 5 pages ~55.7 km from the probe: inside the 4-ring (0.5 < 0.70
+    # deg) so they fill the top-k, but beyond the cos(40.7)-scaled
+    # safe radius (~29.6 km) so the query flags a bounded redo
+    rows = [(f"n{i}", 40.5, 10.0 + 0.01 * i) for i in range(5)]
+    rows += [(f"far{i}", 0.0, -100.0 + i) for i in range(20)]
+    pdf = pd.DataFrame(rows, columns=["url", "lat", "lon"])
     path = str(tmp_path / "pages.parquet")
     spark.createDataFrame(pdf).write.parquet(path)
     pages = spark.read.parquet(path)
-    # two polar probes: both must flag, and their bands must merge
-    # into a single scan predicate
     q = spark.createDataFrame(
-        [(1, 84.2, 10.0), (2, -83.9, -100.0)],
-        "query_id long, qlat double, qlon double").select(
-        "query_id", F.col("qlon").alias("qxmin"),
-        F.col("qlat").alias("qymin"))
+        [(1, 10.0, 40.0)], "query_id long, qxmin double, qymin double")
     out = knn_cells(pages, q, k=5)
+    assert LAST_STATS["redo_bounded"] == 1
+    assert LAST_STATS.get("redo_underflow", 0) == 0
     plan = _physical(out)
-    # the fallback branch exists and its parquet scan pushes the band
+    # the redo branch exists and its parquet scan pushes the band
     fallback = plan.split("Union")[-1]
     assert "PushedFilters" in fallback
     pushed = fallback.split("PushedFilters")[1][:400]
     assert "lat" in pushed
-    # exactly TWO pages scans total: candidate join + one fallback
-    assert plan.count("Scan parquet") - plan.count("queries") <= 3
+    # exactly ONE pages re-scan in the returned plan (the redo); the
+    # accepted branch is a local relation rebuilt from collected rows
+    assert plan.count("Scan parquet") == 1
     # correctness: results equal the exact bruteforce
-    from rustac_spark.geo.knn import knn_bruteforce
     exact = {(r["query_id"], r["rank"], r["url"])
              for r in knn_bruteforce(pages, q, k=5).collect()}
     got = {(r["query_id"], r["rank"], r["url"]) for r in out.collect()}
