@@ -244,9 +244,9 @@ bandwidth ceiling). Other levers from the same investigation: 16g
 heap (48g measured 2-10x slower — first-touch faults), tmpfs
 shuffle dir, warm-pass measurement.
 
-Protocol: per level, one bench.py invocation = 1 warm + 3 measured
-passes with the headline composed from per-stage minima
-(steal-resistant); best invocation counted when several; runs
+Protocol: per level, one bench.py invocation = 1 warm + 3-5 measured
+passes with the headline = best whole pass (per-stage minima kept as
+the steal diagnostic); best invocation counted when several; runs
 collected post-commit (import-taint protocol) via
 `SPARK_GRAFT_CPUS=N python bench.py`; deterministic input
 (sha256-keyed synthetic pages, FIXTURES.md §1). Each leg pins its
