@@ -164,6 +164,8 @@ def main() -> None:
 
         pipe.stage("knn", lambda: knn_cells(
             prepared, queries.where(F.col("kind") == "point"), k=5))
+        from rustac_spark.geo.knn import LAST_STATS
+        print(f"# knn fallback stats: {LAST_STATS}", file=sys.stderr)
 
         pipe.stage("tiles", lambda: (
             explode_tiles(explode_tiles(

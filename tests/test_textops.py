@@ -879,3 +879,61 @@ def test_decontaminate_vs_python_oracle(spark, corpus):
     assert kept == expect_kept
     # benchmark members trivially self-overlap -> all dropped
     assert all(d not in kept for d in pdf.doc_id[pdf.doc_id % 7 == 0])
+
+
+class TestPacking:
+    def test_pack_matches_reference(self, spark):
+        """Greedy token-budget packing matches the driver-side
+        reference on a multi-group input with an oversized doc."""
+        import random
+
+        from rustac_spark.textops.packing import (pack_documents,
+                                                  pack_documents_py)
+        rng = random.Random(11)
+        rows = [(f"s{rng.randrange(3)}", i, rng.randrange(10, 400))
+                for i in range(200)]
+        rows.append(("s0", 9999, 5000))  # oversized: own pack
+        df = spark.createDataFrame(
+            rows, "source string, doc_id long, n_tokens long")
+        got = {(r["source"], r["doc_id"]): (r["pack_id"], r["pack_pos"])
+               for r in pack_documents(df.repartition(7), 1024).collect()}
+        exp = {(g, i): (p, q)
+               for g, i, _, p, q in pack_documents_py(rows, 1024)}
+        assert got == exp
+        # the oversized doc sits alone in its own pack
+        over = got[("s0", 9999)]
+        assert over[1] == 0
+        assert [k for k, v in got.items()
+                if k[0] == "s0" and v[0] == over[0]] == [("s0", 9999)]
+
+    def test_pack_budget_invariants(self, spark):
+        """No pack of 2+ docs exceeds the budget, packs are dense
+        (0..max consecutive per group) and positions are in doc order."""
+        from rustac_spark.textops.packing import pack_documents
+        df = spark.range(300).select(
+            (F.col("id") % 4).cast("string").alias("source"),
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 97 + 5).alias("n_tokens"))
+        out = pack_documents(df, 200).collect()
+        by_pack: dict = {}
+        for r in out:
+            by_pack.setdefault((r["source"], r["pack_id"]), []).append(r)
+        for (_, _), rs in by_pack.items():
+            rs.sort(key=lambda r: r["pack_pos"])
+            assert [r["pack_pos"] for r in rs] == list(range(len(rs)))
+            assert [r["doc_id"] for r in rs] == sorted(
+                r["doc_id"] for r in rs)
+            if len(rs) > 1:
+                assert sum(r["n_tokens"] for r in rs) <= 200
+        for src in {r["source"] for r in out}:
+            pids = sorted({r["pack_id"] for r in out
+                           if r["source"] == src})
+            assert pids == list(range(len(pids)))
+
+    def test_pack_rejects_bad_budget(self, spark):
+        from rustac_spark.textops.packing import pack_documents
+        df = spark.createDataFrame(
+            [("a", 1, 2)], "source string, doc_id long, n_tokens long")
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            pack_documents(df, 0)
