@@ -107,3 +107,49 @@ def test_fetch_prefetches_next_page(mock_api):
     assert ([first["id"]] + [f["id"] for f in rest]
             == [f"item-{i}" for i in range(6)])
     assert _Handler.calls[2]["collections"] == ["c1"]  # merge preserved
+
+
+def test_fetch_propagates_prefetch_error():
+    """An HTTP failure on the prefetched page surfaces as an exception
+    when that page is reached — after page 0's features were already
+    yielded intact."""
+    import urllib.error
+
+    from rustac_spark.stac.api_client import fetch_search_features
+
+    class _FailHandler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(n) or b"{}")
+            page = int(body.get("page", 0))
+            if page >= 1:
+                self.send_response(500)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            base = f"http://{self.headers['Host']}"
+            doc = {"type": "FeatureCollection",
+                   "features": [_item(0), _item(1)],
+                   "links": [{"rel": "next", "href": f"{base}/search",
+                              "body": {"page": 1}}]}
+            out = json.dumps(doc).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), _FailHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        gen = fetch_search_features(
+            f"http://127.0.0.1:{srv.server_address[1]}", {})
+        assert next(gen)["id"] == "item-0"
+        assert next(gen)["id"] == "item-1"
+        with pytest.raises(urllib.error.HTTPError):
+            next(gen)
+    finally:
+        srv.shutdown()
