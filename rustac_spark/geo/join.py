@@ -93,16 +93,17 @@ MEMO_VERDICT_CAP = 2_000_000
 # outlives the plan build (~40 B/row -> ≤8 MB driver transfer).
 MEMO_COLLECT_CAP = 200_000
 
-# Collected reject sets are memoized per (applicationId, geometry
-# content hash, pages-plan semantic hash) so a long-lived caller —
-# the HTTP server answering repeated searches over the same snapshot
-# with the same intersects geometry — pays the eager reject
-# computation once, not per request (same rationale as colgeom's
-# _COMPILE_CACHE). The pages plan's semanticHash changes when the
-# underlying snapshot (and hence the analyzed read plan) changes, so
-# a stale reject set is never replayed against new data. Entries are
-# small pandas frames (≤MEMO_COLLECT_CAP rows); OVER_CAP decisions
-# are cached too (the fallback verdict is equally deterministic).
+# Collected reject sets are memoized per (applicationId, pages-plan
+# semantic hash, pages DATA VERSION, geometry content hash) so a
+# long-lived caller — the HTTP server answering repeated searches
+# over the same snapshot with the same intersects geometry — pays the
+# eager reject computation once, not per request (same rationale as
+# colgeom's _COMPILE_CACHE). semanticHash only identifies the PLAN
+# (it is unchanged when the files at the same path are overwritten),
+# so the key also carries a per-leaf data version — see
+# _data_version. Entries are small pandas frames (≤MEMO_COLLECT_CAP
+# rows); OVER_CAP decisions are cached too (the fallback verdict is
+# equally deterministic).
 _REJECT_CACHE: dict[tuple, "pd.DataFrame | None"] = {}
 _REJECT_CACHE_MAX = 8
 _OVER_CAP = None  # cache sentinel: reject count exceeded the cap
@@ -114,19 +115,64 @@ def _reject_cache_put(key: tuple, value) -> None:
     _REJECT_CACHE[key] = value
 
 
+def _data_version(pages: DataFrame) -> str | None:
+    """Data-version token for the pages frame — the piece semanticHash
+    alone cannot provide: overwriting the parquet at the same path
+    yields an identical analyzed plan, so a long-lived session
+    re-reading an updated snapshot would otherwise get a stale cache
+    HIT (round-6 advisor finding, verified). Per leaf of the
+    cache-substituted plan:
+
+    - file scans: the sorted concrete part-file list (``inputFiles``)
+      — overwrite/append changes part-file names, cheap driver-side
+      metadata;
+    - ``InMemoryRelation`` (a ``.cache()``-ed frame, the HTTP-server /
+      driver-gate pattern): the cached RDD id — unique per
+      SparkContext for the lifetime of the app, so a re-cache after a
+      data change can never alias the old entry (unlike object
+      identityHashCode);
+    - ``LocalRelation``/``Range``: the rows live in the plan itself,
+      so semanticHash already covers the data.
+
+    Any other leaf (streaming, JDBC, ...) → None → no caching."""
+    files = sorted(pages.inputFiles())
+    toks = ["files:" + "\n".join(files)] if files else []
+    plan = pages._jdf.queryExecution().withCachedData()
+    leaves = plan.collectLeaves()
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        nm = leaf.getClass().getSimpleName()
+        if nm == "InMemoryRelation":
+            toks.append(
+                f"rdd:{leaf.cacheBuilder().cachedColumnBuffers().id()}")
+        elif nm in ("LocalRelation", "OneRowRelation", "Range"):
+            toks.append("local")
+        elif nm == "LogicalRelation":
+            if not files:
+                return None  # file-backed leaf with no listable files
+            toks.append("file")
+        else:
+            return None
+    return "|".join(toks)
+
+
 def _reject_cache_key(pages: DataFrame, bbox_by_qid, pieces_by_qid,
                       inner_by_qid) -> tuple | None:
     import hashlib
     import pickle
     try:
         plan_hash = pages._jdf.queryExecution().analyzed().semanticHash()
+        version = _data_version(pages)
+        if version is None:
+            return None
         app = pages.sparkSession.sparkContext.applicationId
     except Exception:
         return None  # unidentifiable input: skip caching
     geo = hashlib.sha256(pickle.dumps(
         (sorted(bbox_by_qid.items()), sorted(pieces_by_qid.items()),
          sorted((inner_by_qid or {}).items())))).hexdigest()
-    return (app, plan_hash, geo)
+    return (app, plan_hash,
+            hashlib.sha256(version.encode()).hexdigest(), geo)
 
 
 def _memo_refine(joined: DataFrame, pages: DataFrame,
@@ -249,10 +295,18 @@ def _memo_refine(joined: DataFrame, pages: DataFrame,
 
         rejected = hard.mapInPandas(rejects, schema=schema)
 
-    # distinct AFTER the kernel: duplicate (footprint, polygon) pairs
-    # (pages sharing a footprint) must not multiply stream rows
-    # through the left join; deduping the reject side is O(rejects)
-    rejected = rejected.distinct().persist()
+    # The caps are applied to the RAW (pre-dedup) reject count so the
+    # guard job needs no shuffle at all: duplicates — pages sharing an
+    # identical footprint, rare by construction — only make the caps
+    # marginally conservative. Dedup happens where it is O(rejects)
+    # and free of a shuffle: driver-side drop_duplicates for the
+    # collected path, a distinct over the (small) persisted frame for
+    # the broadcast path. (Round-6 shape ran distinct→shuffle→count →
+    # toPandas — one whole exchange more per cache miss for the same
+    # reject set; guide §2.4.) Uniqueness of the reject rows is what
+    # keeps the left join from multiplying stream rows, so both paths
+    # still dedup before the join.
+    rejected = rejected.persist()
     n_rejected = rejected.count()
     if n_rejected > MEMO_VERDICT_CAP:
         rejected.unpersist()
@@ -265,7 +319,7 @@ def _memo_refine(joined: DataFrame, pages: DataFrame,
         # outlives the call (a long-lived session — e.g. the HTTP
         # server — would otherwise leak one cached RDD per search),
         # and execution doesn't re-touch the cached subtree at all
-        pdf = rejected.toPandas()
+        pdf = rejected.toPandas().drop_duplicates(ignore_index=True)
         rejected.unpersist()
         if ckey is not None:
             _reject_cache_put(ckey, pdf)
@@ -274,7 +328,7 @@ def _memo_refine(joined: DataFrame, pages: DataFrame,
     # directly (too big to hold driver-side; not cached — the frame
     # must stay persisted for the plan's lifetime)
     marked = F.broadcast(
-        rejected.withColumn("__pip_bad", F.lit(True)))
+        rejected.distinct().withColumn("__pip_bad", F.lit(True)))
     keys = ["query_id", "xmin", "ymin", "xmax", "ymax"]
     return (joined.join(marked, keys, "left")
             .where((F.col("kind") != F.lit("polygon"))

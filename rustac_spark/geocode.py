@@ -87,38 +87,54 @@ def geocode_pandas(urls: pd.Series) -> pd.DataFrame:
     })
 
 
-def _stable_hash_col(col):
-    """Column twin of ``hashing.stable_hash``: first 8 bytes of sha256,
-    big-endian unsigned, as DECIMAL(20,0) (uint64 exceeds BIGINT).
-    conv() parses the 16-hex prefix as an unsigned 64-bit value; the
-    decimal modulos below are exact integer math, and every residue is
-    < 2^18 so the final double cast is lossless."""
+def _stable_hash_mod_col(col, m: int):
+    """Column twin of ``int(hashing.stable_hash(x)) % m`` in pure LONG
+    arithmetic (no DECIMAL). The uint64 value of the first 16 hex
+    chars of sha256 is h = hi·2^32 + lo with hi, lo < 2^32 (each half
+    parsed by conv() into a plain long), so
+
+        h % m = ((hi % m)·(2^32 % m) + lo % m) % m
+
+    exactly. Every intermediate is < m²·2 ≤ 2·360000² < 2^63, so the
+    math never overflows a BIGINT. This replaced the round-1..6
+    conv(16 hex)→DECIMAL(20,0)→decimal-mod chain: same residues
+    bit-for-bit (tests/test_pipeline.py parity test), but the per-row
+    cost is two small-int parses + three long mods instead of
+    BigDecimal construction and division on the ingest hot path
+    (optimization guide §1.2 "per-task work"; measured in
+    OPTIMIZATION_r07.md)."""
     from pyspark.sql import functions as F
-    return F.conv(F.substring(F.sha2(col, 256), 1, 16), 16, 10) \
-        .cast("decimal(20,0)")
+    h = F.sha2(col, 256)
+    hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    c = (1 << 32) % m
+    return ((hi % m) * F.lit(c) + lo % m) % m
 
 
 def geocode_cols(url) -> dict:
     """Pure-Column twin of ``geocode_pandas`` — the full geocode in
     whole-stage codegen, zero Python. Expression trees mirror the
     numpy kernel op-for-op (same IEEE order ⇒ bit-identical doubles;
-    tests assert exact equality on the committed fixtures)."""
+    tests assert exact equality on the committed fixtures). Each hash
+    feeds exactly one modulus, so the hash columns are built directly
+    as ``stable_hash(x) % m`` in long math (every residue < 2^19 ⇒
+    the double cast is lossless)."""
     from pyspark.sql import functions as F
 
     domain = F.split(url, "/").getItem(2)
-    hd = _stable_hash_col(domain)
-    hdx = _stable_hash_col(F.concat(domain, F.lit("x")))
-    hu = _stable_hash_col(url)
-    hlat = _stable_hash_col(F.concat(url, F.lit(":lat")))
-    hlon = _stable_hash_col(F.concat(url, F.lit(":lon")))
+    hd = _stable_hash_mod_col(domain, 170_000)
+    hdx = _stable_hash_mod_col(F.concat(domain, F.lit("x")), 360_000)
+    hu = _stable_hash_mod_col(url, 100)
+    hlat = _stable_hash_mod_col(F.concat(url, F.lit(":lat")), 100_001)
+    hlon = _stable_hash_mod_col(F.concat(url, F.lit(":lon")), 100_001)
 
-    lat_dom = (hd % 170_000).cast("double") / 1000.0 - 85.0
-    lon_dom = (hdx % 360_000).cast("double") / 1000.0 - 180.0
-    lat = lat_dom + ((hlat % 100_001).cast("double") / 100_000.0 - 0.5) * 0.1
-    lon = lon_dom + ((hlon % 100_001).cast("double") / 100_000.0 - 0.5) * 0.1
+    lat_dom = hd.cast("double") / 1000.0 - 85.0
+    lon_dom = hdx.cast("double") / 1000.0 - 180.0
+    lat = lat_dom + (hlat.cast("double") / 100_000.0 - 0.5) * 0.1
+    lon = lon_dom + (hlon.cast("double") / 100_000.0 - 0.5) * 0.1
     lat = F.least(F.greatest(lat, F.lit(-LAT_LIMIT)), F.lit(LAT_LIMIT))
     lon = F.least(F.greatest(lon, F.lit(-LON_LIMIT)), F.lit(LON_LIMIT))
-    delta = F.lit(0.001) + (hu % 100).cast("double") / 10_000.0
+    delta = F.lit(0.001) + hu.cast("double") / 10_000.0
     return {"lat": lat, "lon": lon,
             "xmin": lon - delta, "ymin": lat - delta,
             "xmax": lon + delta, "ymax": lat + delta}

@@ -195,7 +195,19 @@ class Pipeline:
             return self.spark.read.parquet(out_path)
         t0 = time.time()
         df = build()
-        df.write.mode("overwrite").parquet(out_path)
+        # Stage outputs are run-scoped intermediates (written once,
+        # read back by the next stage, deleted with the run dir), the
+        # same I/O profile as shuffle files — so they default to
+        # snappy like Spark's own temp data, not the long-term
+        # storage codec (the durable geoparquet sink keeps ZSTD-15 in
+        # stac/translate.py). Measured on the bench host: the zstd
+        # session default cost ~1.2 s/pass extra CPU on the prepare
+        # write alone for a 56→65 MB size difference (guide §6;
+        # OPTIMIZATION_r07.md). Parameterised for clusters where
+        # intermediate I/O, not CPU, is the bottleneck.
+        codec = os.environ.get("RUSTAC_STAGE_CODEC", "snappy")
+        df.write.mode("overwrite").option("compression", codec) \
+            .parquet(out_path)
         wall = time.time() - t0
         total = self._write_lineage(name, out_path, wall)
         self._commit(name, {"stage": name, "run_id": self.run_id,

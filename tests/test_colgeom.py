@@ -194,3 +194,38 @@ def test_reject_set_cached_across_calls(spark, pages_geo, queries_df):
     a = sorted(map(tuple, first.collect()))
     b = sorted(map(tuple, second.collect()))
     assert a == b and len(a) > 0
+
+
+def test_reject_cache_not_stale_after_overwrite(spark, queries_df,
+                                                tmp_path):
+    """Overwriting the pages parquet at the SAME path must not replay
+    the previous snapshot's memoized reject set (round-6 advisor
+    finding: the analyzed plan's semanticHash is identical for a
+    fresh read of the same path, so the key must carry a data
+    version — the concrete part-file list)."""
+    from rustac_spark.geo import join as join_mod
+
+    path = str(tmp_path / "pages.parquet")
+    base = spark.read.parquet(f"{DATA_DIR}/pages_sf0.001.parquet") \
+        .select("url")
+    join_mod._REJECT_CACHE.clear()
+
+    base.limit(400).write.mode("overwrite").parquet(path)
+    first_geo = with_geocode(spark.read.parquet(path))
+    first = sorted(map(tuple, spatial_join(
+        first_geo, queries_df, page_cols=["url"]).collect()))
+    assert len(join_mod._REJECT_CACHE) == 1
+
+    # same path, different data (and different part files)
+    base.write.mode("overwrite").parquet(path)
+    second_geo = with_geocode(spark.read.parquet(path))
+    got = sorted(map(tuple, spatial_join(
+        second_geo, queries_df, page_cols=["url"]).collect()))
+    # fresh data must produce the fresh (memo-free) answer
+    want = sorted(map(tuple, spatial_join(
+        second_geo, queries_df, page_cols=["url"],
+        refine_memo=False).collect()))
+    assert got == want
+    assert len(got) > len(first)  # 1000 > 400 rows joined
+    # and the overwrite produced a distinct cache entry, not a hit
+    assert len(join_mod._REJECT_CACHE) == 2
