@@ -198,9 +198,18 @@ def _memo_refine(joined: DataFrame, pages: DataFrame,
 
     Reject computation runs on a slim (query_id + 4 doubles, no url
     bytes) projection, in three Column-first steps:
-      1. bbox-overlap join against the queries' OWN (qxmin..qymax) —
-         the exact predicate the stream rows passed, so rejects cover
-         every stream row by construction;
+      1. the polygon-kind slice of the CANDIDATE STREAM itself
+         (Catalyst prunes the page payload columns out of the eager
+         job, so only the cell equi-join's key/bbox columns are
+         computed): the stream's pair set is exactly the
+         bbox-overlap pairs — the reference-point dedup emits each
+         overlapping pair once at any resolution — so rejects cover
+         every stream row by construction. (Rounds 2-6 instead
+         re-joined pages × query bboxes as a broadcast NESTED-LOOP
+         join: |pages| × |polygons| condition evals and a second
+         independent pages scan per cache miss — measured 1.4-1.7 s
+         of the bench's join stage vs ~0.4 s for the hash-join
+         stream slice; guide §3.1.);
       2. the inscribed-rect accept as a pure COLUMN prefilter — on an
          N-core-pinned executor the JVM Arrow writer and the Python
          worker contend for the same cores, so every row that crosses
@@ -247,22 +256,23 @@ def _memo_refine(joined: DataFrame, pages: DataFrame,
         return None if cached is _OVER_CAP else apply_rejects(cached)
 
     recs = []
-    for q, bb in bbox_by_qid.items():
+    for q in bbox_by_qid:
         ir = (inner_by_qid or {}).get(q)
-        recs.append((int(q), *[float(v) for v in bb],
+        recs.append((int(q),
                      *([float(v) for v in ir] if ir is not None
                        else [None] * 4)))
     qb = spark.createDataFrame(
-        recs, "query_id long, qxmin double, qymin double, qxmax double, "
-        "qymax double, ixmin double, iymin double, ixmax double, "
+        recs, "query_id long, ixmin double, iymin double, ixmax double, "
         "iymax double")
     inside_inner = (F.col("ixmin").isNotNull()
                     & (F.col("xmin") >= F.col("ixmin"))
                     & (F.col("ymin") >= F.col("iymin"))
                     & (F.col("xmax") <= F.col("ixmax"))
                     & (F.col("ymax") <= F.col("iymax")))
-    hard = (pages.select("xmin", "ymin", "xmax", "ymax")
-            .join(F.broadcast(qb), _rect_overlap())
+    hard = (joined
+            .where(F.col("kind") == F.lit("polygon"))
+            .select("query_id", "xmin", "ymin", "xmax", "ymax")
+            .join(F.broadcast(qb), "query_id")
             .where(~inside_inner)
             .select("query_id", "xmin", "ymin", "xmax", "ymax"))
 
