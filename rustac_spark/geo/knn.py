@@ -151,7 +151,8 @@ def knn_bruteforce(pages: DataFrame, queries: DataFrame, k: int = 5,
 
 
 def knn_cells(pages: DataFrame, queries: DataFrame, k: int = 5,
-              res: int = DEFAULT_RES, rings: int = 4) -> DataFrame:
+              res: int = DEFAULT_RES, rings: int = 4,
+              stats_out: dict | None = None) -> DataFrame:
     """Cell-pruned kNN (scale path): candidates = pages whose anchor
     cell lies within `rings` of the query's cell, then exact re-rank.
 
@@ -276,14 +277,24 @@ def knn_cells(pages: DataFrame, queries: DataFrame, k: int = 5,
             # (candidates ⊆ pages) — re-run over that band only
             flagged[r["query_id"]] = float(dmax)
             bands.append((r["qlon"], r["qlat"], float(dmax)))
-    LAST_STATS.clear()
-    LAST_STATS.update({
+    # per-call stats land in the caller-owned stats_out dict (the
+    # race-free path for concurrent jobs, e.g. the HTTP server on a
+    # FAIR pool — round-6 verdict item #4); the module-level
+    # LAST_STATS mirror stays for existing callers (bench.py) but is
+    # shared mutable state, so concurrent callers should pass
+    # stats_out
+    stats_dict = {
         "queries": len(qrows),
         "banded": n_banded,
         "ok": len(qrows) - len(flagged),
         "redo_bounded": len(bands),
         "redo_underflow": len(flagged) - len(bands),
-    })
+    }
+    if stats_out is not None:
+        stats_out.clear()
+        stats_out.update(stats_dict)
+    LAST_STATS.clear()
+    LAST_STATS.update(stats_dict)
     out_cols = ["query_id", "rank", "url", "dist_km"]
     if not flagged:
         return (spark.createDataFrame(topk_rows, topk_schema)
@@ -316,6 +327,8 @@ def knn_cells(pages: DataFrame, queries: DataFrame, k: int = 5,
         # sparse/polar probe underflowed. The escalating banded redo
         # keeps every rescan pruned to the pending lat/lon bands.
         rows, iters = _redo_underflow(pages, underflow, k, dmax0)
+        if stats_out is not None:
+            stats_out["underflow_iters"] = iters
         LAST_STATS["underflow_iters"] = iters
         uf_schema = "query_id long, rank int, url string, dist_km double"
         parts.append(spark.createDataFrame(rows, uf_schema) if rows

@@ -153,3 +153,53 @@ def test_fetch_propagates_prefetch_error():
             next(gen)
     finally:
         srv.shutdown()
+
+
+def test_read_stac_api_empty_result_is_typed(spark):
+    """An empty search must return a TYPED empty frame (minimal STAC
+    item columns) so callers can keep chaining projections — not the
+    old zero-column spark.range(0).select() (round-6 verdict #3)."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    class _Empty(BaseHTTPRequestHandler):
+        def do_POST(self):
+            out = json.dumps({"type": "FeatureCollection",
+                              "features": [], "links": []}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), _Empty)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        from rustac_spark.stac.api_client import read_stac_api
+        df = read_stac_api(
+            spark, f"http://127.0.0.1:{srv.server_address[1]}")
+        assert df.count() == 0
+        assert df.select("id").count() == 0  # projection chains work
+        assert {"type", "stac_version", "id", "collection"} <= set(
+            df.columns)
+    finally:
+        srv.shutdown()
+
+
+def test_fetch_early_exit_does_not_block_on_prefetch(mock_api):
+    """Abandoning the generator after the first page must return
+    promptly even though a prefetch of page 2 is in flight (round-6
+    advice: the pool context manager joined the worker on exit)."""
+    import time
+
+    from rustac_spark.stac.api_client import fetch_search_features
+
+    gen = fetch_search_features(mock_api, {"collections": ["c"]})
+    first = next(gen)
+    t0 = time.time()
+    gen.close()  # GeneratorExit inside the yield loop
+    assert time.time() - t0 < 2.0
+    assert first["id"] == "item-0"

@@ -223,34 +223,36 @@ def test_knn_cells_underflow_escalating_redo(spark):
     the redo escalates its banded radius until provably complete
     (multiple iterations here — page b is ~12,900 km away, far past
     the first 250 km band) and still finds every page."""
-    from rustac_spark.geo.knn import LAST_STATS
     pages = spark.createDataFrame(
         [("a", 10.0, 10.0), ("b", -40.0, 120.0)],
         "url string, lat double, lon double")
     queries = spark.createDataFrame(
         [(0, 0.0, 0.0)], "query_id long, qxmin double, qymin double")
-    got = [r["url"] for r in knn_cells(pages, queries, k=5)
+    stats: dict = {}
+    got = [r["url"] for r in knn_cells(pages, queries, k=5,
+                                       stats_out=stats)
            .orderBy("rank").collect()]
     exp = [r["url"] for r in knn_bruteforce(pages, queries, k=5)
            .orderBy("rank").collect()]
     assert got == exp and len(got) == 2
-    assert LAST_STATS["redo_underflow"] == 1
-    assert LAST_STATS["underflow_iters"] > 1
+    assert stats["redo_underflow"] == 1
+    assert stats["underflow_iters"] > 1
 
 
 def test_knn_cells_polar_band_single_join(spark, pages_geo, queries_df):
     """Polar probes (|lat| near 90) take lat-band candidate cells in
     the SAME join — no redo of any kind — and stay exact. This locks
     the single-job plan shape for the bench probe set."""
-    from rustac_spark.geo.knn import LAST_STATS
     qpts = queries_df.where(F.col("kind") == "point")
+    stats: dict = {}
     got = {(r["query_id"], r["rank"]): r["url"]
-           for r in knn_cells(pages_geo, qpts, k=5).collect()}
+           for r in knn_cells(pages_geo, qpts, k=5,
+                              stats_out=stats).collect()}
     exp = {(r["query_id"], r["rank"]): r["url"]
            for r in knn_bruteforce(pages_geo, qpts, k=5).collect()}
     assert got == exp
-    assert LAST_STATS["banded"] >= 3      # the three polar probes
-    assert LAST_STATS["ok"] == LAST_STATS["queries"]  # zero redo
+    assert stats["banded"] >= 3           # the three polar probes
+    assert stats["ok"] == stats["queries"]  # zero redo
 
 
 def test_knn_bounded_band_wraps_antimeridian(spark):

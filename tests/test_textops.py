@@ -937,3 +937,64 @@ class TestPacking:
         import pytest as _pytest
         with _pytest.raises(ValueError):
             pack_documents(df, 0)
+
+
+class TestPackingBucketed:
+    def test_bucketed_single_group_parallel_and_deterministic(self, spark):
+        """A ONE-group input (the round-6 verdict's straggler shape)
+        packs across many (group, bucket) keys, and assignments equal
+        the sequential per-bucket reference with cumulative-doc-count
+        offsets — deterministic under any input partitioning."""
+        from rustac_spark.textops.packing import (pack_documents,
+                                                  pack_documents_py)
+        n, nb, budget = 240, 8, 64
+        rows = [("s", i, 10 + i % 7) for i in range(n)]
+        df = spark.createDataFrame(
+            rows, "source string, doc_id long, n_tokens long")
+        got = {r["doc_id"]: (r["pack_id"], r["pack_pos"])
+               for r in pack_documents(df.repartition(5), budget,
+                                       buckets=nb).collect()}
+        # reference: same deterministic bucket expression, greedy per
+        # bucket via the driver reference, offsets = cumulative doc
+        # counts of earlier buckets
+        bmap = {r["doc_id"]: r["b"] for r in df.select(
+            "doc_id", F.pmod(F.xxhash64("doc_id"), F.lit(nb))
+            .cast("long").alias("b")).collect()}
+        assert len(set(bmap.values())) >= nb // 2  # real spread
+        ref = pack_documents_py(
+            [(bmap[i], i, t) for _, i, t in rows], budget)
+        counts: dict = {}
+        for _, i, t in rows:
+            counts[bmap[i]] = counts.get(bmap[i], 0) + 1
+        offs, acc = {}, 0
+        for b in sorted(counts):
+            offs[b] = acc
+            acc += counts[b]
+        exp = {i: (p + offs[g], q) for g, i, _, p, q in ref}
+        assert got == exp
+        # repartitioning the input does not change assignments
+        got2 = {r["doc_id"]: (r["pack_id"], r["pack_pos"])
+                for r in pack_documents(df.repartition(2), budget,
+                                        buckets=nb).collect()}
+        assert got2 == got
+
+    def test_bucketed_budget_and_id_uniqueness(self, spark):
+        """Bucketed packs respect the token budget (beyond oversized
+        singletons), pack ids are unique per (group, pack) and
+        ascending, positions dense in doc order."""
+        from rustac_spark.textops.packing import pack_documents
+        df = spark.range(500).select(
+            (F.col("id") % 2).cast("string").alias("source"),
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 97 + 5).alias("n_tokens"))
+        out = pack_documents(df, 200, buckets=4).collect()
+        by_pack: dict = {}
+        for r in out:
+            by_pack.setdefault((r["source"], r["pack_id"]), []).append(r)
+        for rs in by_pack.values():
+            rs.sort(key=lambda r: r["pack_pos"])
+            assert [r["pack_pos"] for r in rs] == list(range(len(rs)))
+            assert [r["doc_id"] for r in rs] == sorted(
+                r["doc_id"] for r in rs)
+            if len(rs) > 1:
+                assert sum(r["n_tokens"] for r in rs) <= 200
