@@ -235,6 +235,19 @@ def knn_cells(pages: DataFrame, queries: DataFrame, k: int = 5,
     cand = (pc.join(F.broadcast(q), "cell")
             .withColumn("dist_km", haversine_km(
                 F.col("lat"), F.col("lon"), F.col("qlat"), F.col("qlon")))
+            # drop candidates beyond dmax0 BEFORE the top-k exchange:
+            # a polar lat band spans every longitude, so most of its
+            # members are thousands of km out while the accept rule
+            # can never accept a k-th distance above safe ≤ dmax0.
+            # Exactness is unchanged on every path: if ≥ k candidates
+            # survive, the true top-k all lie within dmax0 (and within
+            # the band), so the filtered top-k IS the true top-k
+            # whenever the verdict accepts; if < k survive, the query
+            # degrades to the exact underflow redo; and a filtered
+            # k-th distance still upper-bounds the true k-th for the
+            # bounded redo (filtered candidates ⊆ pages). Shuffle and
+            # sort sizes drop ~5x on the polar bands (guide §2.3).
+            .where(F.col("dist_km") <= F.lit(float(dmax0)))
             # project BEFORE the window's exchange: the rank and the
             # verdicts only need (query_id, url, dist_km) — page and
             # query coordinates would otherwise ride the shuffle and
