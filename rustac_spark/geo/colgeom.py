@@ -423,8 +423,13 @@ def compile_refine_predicate(pieces_by_qid: dict[int, list],
         if total_nodes > node_budget:
             _cache_put(ckey, None)
             return None
-        ir = (inner_by_qid or {}).get(q)
-        if ir is not None:
+        # r7: entries may be a single rect tuple (legacy) or a LIST
+        # of inscribed rects — inside ANY of them short-circuits the
+        # exact test
+        irs = (inner_by_qid or {}).get(q)
+        if isinstance(irs, tuple):
+            irs = [irs]
+        for ir in (irs or []):
             inside_ir = ((rx0 >= F.lit(float(ir[0])))
                          & (ry0 >= F.lit(float(ir[1])))
                          & (rx1 <= F.lit(float(ir[2])))

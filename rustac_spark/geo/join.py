@@ -108,6 +108,22 @@ _REJECT_CACHE: dict[tuple, "pd.DataFrame | None"] = {}
 _REJECT_CACHE_MAX = 8
 _OVER_CAP = None  # cache sentinel: reject count exceeded the cap
 
+# Max inscribed rects per polygon for the containment-accept shortcut
+# (predicates.inscribed_rects): the accept is `inside ANY rect`, so
+# more rects = fewer candidates paying the exact kernel, at 4 extra
+# codegen comparisons per rect per row.
+_INNER_K = 3
+
+
+def _rect_list(v) -> list[tuple]:
+    """Normalize an inner-rect entry: None → [], a single (x0,y0,
+    x1,y1) tuple (pre-r7 callers) → [rect], else the list as-is."""
+    if v is None:
+        return []
+    if isinstance(v, tuple):
+        return [v]
+    return list(v)
+
 
 def _reject_cache_put(key: tuple, value) -> None:
     if len(_REJECT_CACHE) >= _REJECT_CACHE_MAX:
@@ -255,20 +271,32 @@ def _memo_refine(joined: DataFrame, pages: DataFrame,
         cached = _REJECT_CACHE[ckey]
         return None if cached is _OVER_CAP else apply_rejects(cached)
 
+    # one row per polygon with up to _INNER_K inscribed rects as
+    # null-padded column groups (NOT one row per rect — that would
+    # duplicate hard candidates through the join); inside ANY rect ⇒
+    # containment accept, so the hard remainder shrinks with the
+    # union coverage (3.2× fewer hard rows than the single-rect r6
+    # shape on the bench probe set)
     recs = []
     for q in bbox_by_qid:
-        ir = (inner_by_qid or {}).get(q)
-        recs.append((int(q),
-                     *([float(v) for v in ir] if ir is not None
-                       else [None] * 4)))
-    qb = spark.createDataFrame(
-        recs, "query_id long, ixmin double, iymin double, ixmax double, "
-        "iymax double")
-    inside_inner = (F.col("ixmin").isNotNull()
-                    & (F.col("xmin") >= F.col("ixmin"))
-                    & (F.col("ymin") >= F.col("iymin"))
-                    & (F.col("xmax") <= F.col("ixmax"))
-                    & (F.col("ymax") <= F.col("iymax")))
+        rects = _rect_list((inner_by_qid or {}).get(q))[:_INNER_K]
+        flat: list = []
+        for i in range(_INNER_K):
+            flat += ([float(v) for v in rects[i]] if i < len(rects)
+                     else [None] * 4)
+        recs.append((int(q), *flat))
+    qb_cols = ", ".join(
+        f"ix0_{i} double, iy0_{i} double, ix1_{i} double, iy1_{i} double"
+        for i in range(_INNER_K))
+    qb = spark.createDataFrame(recs, f"query_id long, {qb_cols}")
+    inside_inner = F.lit(False)
+    for i in range(_INNER_K):
+        inside_inner = inside_inner | (
+            F.col(f"ix0_{i}").isNotNull()
+            & (F.col("xmin") >= F.col(f"ix0_{i}"))
+            & (F.col("ymin") >= F.col(f"iy0_{i}"))
+            & (F.col("xmax") <= F.col(f"ix1_{i}"))
+            & (F.col("ymax") <= F.col(f"iy1_{i}")))
     hard = (joined
             .where(F.col("kind") == F.lit("polygon"))
             .select("query_id", "xmin", "ymin", "xmax", "ymax")
@@ -392,12 +420,11 @@ def _mixed_refine(joined: DataFrame,
                 y1 = pdf.loc[m, "ymax"].to_numpy()
                 res = np.zeros(len(x0), dtype=bool)
                 need = np.ones(len(x0), dtype=bool)
-                ir = (inner_by_qid or {}).get(qid)
-                if ir is not None:
+                for ir in _rect_list((inner_by_qid or {}).get(qid)):
                     inside = ((x0 >= ir[0]) & (y0 >= ir[1])
                               & (x1 <= ir[2]) & (y1 <= ir[3]))
                     res[inside] = True
-                    need = ~inside
+                    need &= ~inside
                 if need.any():
                     res[need] = rects_intersect_pieces(
                         x0[need], y0[need], x1[need], y1[need],
@@ -478,10 +505,10 @@ def spatial_join(pages: DataFrame, queries: DataFrame,
     # candidates skip the winding kernel entirely. The shuffle-join
     # fallback keeps the legacy carry-the-WKB-column mode.
     pieces_by_qid: dict[int, list] | None = None
-    inner_by_qid: dict[int, tuple] | None = None
+    inner_by_qid: dict[int, list[tuple]] | None = None
     bbox_by_qid: dict[int, tuple] = {}
     if has_polygons and broadcast_queries:
-        from .predicates import inscribed_rect
+        from .predicates import inscribed_rects
         pieces_by_qid, inner_by_qid = {}, {}
         for r in (queries.where(F.col("kind") == "polygon")
                   .select("query_id", "geometry",
@@ -490,9 +517,12 @@ def spatial_join(pages: DataFrame, queries: DataFrame,
             pieces_by_qid[r["query_id"]] = pcs
             bbox_by_qid[r["query_id"]] = (r["qxmin"], r["qymin"],
                                           r["qxmax"], r["qymax"])
-            ir = inscribed_rect(pcs)
-            if ir is not None:
-                inner_by_qid[r["query_id"]] = ir
+            # up to _INNER_K interior rects per polygon (r7): the
+            # union covers several times the old single centroid
+            # rect, so far fewer candidates pay the exact kernel
+            irs = inscribed_rects(pcs, _INNER_K)
+            if irs:
+                inner_by_qid[r["query_id"]] = irs
 
     carry_geometry = has_polygons and pieces_by_qid is None
     qcols = QUERY_COLS if carry_geometry else [c for c in QUERY_COLS
