@@ -45,17 +45,25 @@ than 1e-12 — the kernels' on-edge tolerance shell, which SAT (exact
 closed-set math) does not widen; tests/test_colgeom.py locks
 set-equality on random + exact-boundary rect soups.
 
-MEASURED OUTCOME (this 32-core sandbox, sf0.4 probe set, 17
-polygons): even with codegen verified working (factoryMode
-CODEGEN_ONLY passes), the compiled join ties the Arrow refine at
-local[8] (13.5 vs 13.8 s) and loses badly at local[16] (26.7 vs
-9.2 s, stable across passes). The Arrow path's numpy kernels +
-inscribed-rect accept are simply strong, and the standalone-Filter
-row boundary + per-row predicate eval anti-scales here. So
-spatial_join keeps the Arrow refine as DEFAULT and this compiler is
-opt-in (compile_polygons=True) — the analysis below of WHERE
-generated code breaks remains load-bearing for any future Column
-geometry work.
+MEASURED OUTCOME, rounds 4-6 (this 32-core sandbox, sf0.4 probe
+set, 17 polygons): even with codegen verified working (factoryMode
+CODEGEN_ONLY passes), the compiled join tied the Arrow refine at
+local[8] (13.5 vs 13.8 s) and lost badly at local[16] (26.7 vs
+9.2 s, stable across passes) — the per-row SAT eval over the whole
+polygon stream anti-scaled, so compilation stayed opt-in through
+round 6.
+
+RE-MEASURED, round 7: the multi-rect inscribed covers
+(predicates.inscribed_rects, up to 3 verified interior rects per
+polygon) absorb ~94% of polygon candidates BEFORE any SAT block
+runs, which flips the economics: compiled now beats the memoized
+refine at every parallelism level (sf0.1 build+write interleaved
+A/B: local[8] 2.39 vs 3.35 s, local[16] 1.75 vs 2.62 s, local[32]
+1.63 vs 2.75 s), with zero eager Spark jobs at plan build. The
+compiled predicate is therefore the spatial_join DEFAULT since
+round 7 (geo/join.py), with the memo as the out-of-budget fallback.
+The analysis below of WHERE generated code breaks remains
+load-bearing for any future Column geometry work.
 
 Two budgets gate compilation (callers fall back to the Arrow kernel
 on None): a per-geometry vertex cap (bounds per-row evaluation cost)

@@ -441,7 +441,7 @@ def spatial_join(pages: DataFrame, queries: DataFrame,
                  page_cols: list[str] | None = None,
                  subdivide_threshold: int | None = None,
                  has_polygons: bool | None = None,
-                 compile_polygons: bool = False,
+                 compile_polygons: bool | None = None,
                  refine_memo: bool | None = None,
                  grid=default_grid) -> DataFrame:
     """pages ⋈_ST_Intersects queries → (query_id, kind, *page_cols).
@@ -451,19 +451,27 @@ def spatial_join(pages: DataFrame, queries: DataFrame,
 
     If the query set contains no polygons the whole join is pure
     Column math (zero Python). With polygons and a broadcast query
-    side the DEFAULT residual is the MEMOIZED refine (_memo_refine):
-    the exact numpy kernel runs over a slim (query_id + footprint
-    bbox) projection and its REJECTED pairs — the small side, since
-    the query bbox already filters ~99% correctly — broadcast back
-    onto the candidate stream, which therefore never crosses Arrow.
-    ``refine_memo=False`` (or the reject-pair count exceeding
-    MEMO_VERDICT_CAP, or the shuffle-join fallback where geometries
-    ride per row) uses the inline Arrow-batched refine over the
-    candidate stream instead.
-    ``compile_polygons=True`` COMPILES in-budget geometries into the
-    residual predicate as a Column expression (colgeom.py, ear-clip +
-    separating-axis) — opt-in after measurement: it anti-scales at 16
-    threads on this host (see colgeom.py's codegen story). All paths
+    side the DEFAULT residual (round 7) is the COMPILED predicate:
+    in-budget geometries become a Column expression (colgeom.py,
+    ear-clip + separating-axis) with the multi-rect inscribed-cover
+    accept short-circuiting ahead of the SAT blocks — zero Python,
+    zero Arrow, zero eager Spark jobs, one action. Rounds 5-6 kept
+    compilation opt-in because it anti-scaled at 16 threads; the
+    round-7 multi-rect covers (predicates.inscribed_rects) absorb
+    ~94% of polygon candidates before any SAT block runs, and the
+    re-measured ordering is now compiled < memo at EVERY parallelism
+    (local[8] 2.39 vs 3.35 s, local[16] 1.75 vs 2.62 s, local[32]
+    1.63 vs 2.75 s per build+write at sf0.1). When compilation is
+    out of budget the residual falls back to the MEMOIZED refine
+    (_memo_refine): rejected pairs computed once on the polygon
+    slice of the stream and broadcast back as a left-join null
+    check. ``compile_polygons=False`` forces that memo path (the
+    reject-cache tests use it); ``compile_polygons=True`` keeps its
+    old meaning (compile, with the memo as the out-of-budget
+    fallback). ``refine_memo=False`` disables the memo, so
+    ``compile_polygons=False, refine_memo=False`` selects the inline
+    Arrow-batched refine, which also serves the shuffle-join mode
+    where geometries ride per row. All paths
     accept identical candidate sets outside the kernels' 1e-12
     on-edge shell (tests/test_colgeom.py, test_spatial.py).
 
@@ -473,7 +481,9 @@ def spatial_join(pages: DataFrame, queries: DataFrame,
     polygon by < 1e-12 is now REJECTED, where the earlier numpy
     winding kernel's on-edge tolerance shell accepted it. SAT is the
     more correct (closed-set) semantics; only borderline inputs
-    inside that shell can observe the difference.
+    inside that shell can observe the difference. (Unchanged by the
+    round-7 default flip: the memo path's verdicts already came from
+    the same compiled predicate.)
 
     has_polygons: pass True/False to skip the small plan-time probe of
     the query side (a `.limit(1).count()` on the queries table). The
@@ -482,14 +492,13 @@ def spatial_join(pages: DataFrame, queries: DataFrame,
     should supply the flag. Note that with has_polygons=True and a
     broadcast query side the builder still runs ONE bounded eager
     collect (the polygon WKBs, captured driver-side so the candidate
-    stream carries no per-row geometry), and the default memoized
-    refine adds one small eager job (slim footprints × polygons →
-    reject count, the MEMO_VERDICT_CAP guard) — cached per
-    (geometry, pages-plan) so a long-lived caller repeating the same
-    search over the same snapshot pays it once; fully-lazy iterative
+    stream carries no per-row geometry); the compiled default adds
+    NO further eager work (predicate construction is driver-side and
+    content-cached), while the memo fallback adds one small eager
+    job (reject count, the MEMO_VERDICT_CAP guard) cached per
+    (geometry, pages-plan, data version). Fully-lazy iterative
     callers should pass has_polygons=False when their probes are
-    rect/point only (action-free plan building), or
-    refine_memo=False to keep polygon probes lazy too.
+    rect/point only (action-free plan building).
     """
     page_cols = page_cols or [c for c in pages.columns
                               if c not in ("html", "text")]
@@ -564,7 +573,7 @@ def spatial_join(pages: DataFrame, queries: DataFrame,
     if has_polygons:
         refined = None
         memoed = None
-        if compile_polygons and pieces_by_qid is not None:
+        if compile_polygons is not False and pieces_by_qid is not None:
             from .colgeom import compile_refine_predicate
             refined = compile_refine_predicate(
                 pieces_by_qid, inner_by_qid,

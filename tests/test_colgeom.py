@@ -134,11 +134,11 @@ def pages_geo(spark):
 
 def test_join_compiled_memo_arrow_paths_agree(spark, pages_geo,
                                               queries_df):
-    compiled = spatial_join(pages_geo, queries_df, page_cols=["url"],
-                            compile_polygons=True)
+    compiled = spatial_join(pages_geo, queries_df, page_cols=["url"])
     arrow = spatial_join(pages_geo, queries_df, page_cols=["url"],
-                         refine_memo=False)
-    memo = spatial_join(pages_geo, queries_df, page_cols=["url"])
+                         compile_polygons=False, refine_memo=False)
+    memo = spatial_join(pages_geo, queries_df, page_cols=["url"],
+                        compile_polygons=False)
     a = sorted(map(tuple, compiled.collect()))
     b = sorted(map(tuple, arrow.collect()))
     c = sorted(map(tuple, memo.collect()))
@@ -157,19 +157,23 @@ def test_compiled_join_plan_has_no_python_stage(spark, pages_geo,
     # for the whole stage) — locked by the join line staying small
     bhj = [l for l in plan.splitlines() if "BroadcastHashJoin" in l][0]
     assert "CASE WHEN" not in bhj
-    # default path is the MEMOIZED refine: with every probe geometry
-    # in compile budget the reject computation runs the compiled SAT
-    # predicate, so NO stage anywhere in the plan crosses Python —
-    # the candidate stream is JVM-only and so is the broadcast side
+    # the round-7 DEFAULT path IS the compiled one: no Python stage
+    # anywhere and no reject broadcast left join in the plan
     default = spatial_join(pages_geo, queries_df, page_cols=["url"])
     dplan = default._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in dplan
-    # and the reject set rides a broadcast LEFT join over the stream
+    # the explicit memo fallback still rides a broadcast LEFT join
+    # over the stream, also Python-free (its reject verdicts run the
+    # same compiled SAT predicate)
+    memo = spatial_join(pages_geo, queries_df, page_cols=["url"],
+                        compile_polygons=False)
+    mplan = memo._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in mplan
     assert any("BroadcastHashJoin" in l and "LeftOuter" in l
-               for l in dplan.splitlines())
+               for l in mplan.splitlines())
     # the explicit Arrow path still drives the whole stream through it
     arrow = spatial_join(pages_geo, queries_df, page_cols=["url"],
-                         refine_memo=False)
+                         compile_polygons=False, refine_memo=False)
     assert "MapInPandas" in (
         arrow._jdf.queryExecution().executedPlan().toString())
 
@@ -180,12 +184,13 @@ def test_reject_set_cached_across_calls(spark, pages_geo, queries_df):
     set: the second build runs no eager Spark job."""
     from rustac_spark.geo import join as join_mod
     join_mod._REJECT_CACHE.clear()
-    first = spatial_join(pages_geo, queries_df, page_cols=["url"])
+    first = spatial_join(pages_geo, queries_df, page_cols=["url"],
+                         compile_polygons=False)
     assert len(join_mod._REJECT_CACHE) == 1
     tracker = spark.sparkContext.statusTracker()
     before = tracker.getJobIdsForGroup(None)
     second = spatial_join(pages_geo, queries_df, page_cols=["url"],
-                          has_polygons=True)
+                          has_polygons=True, compile_polygons=False)
     # plan build must be action-free on the cache hit (the polygon
     # WKB collect still runs; allow only that single bounded job)
     after = tracker.getJobIdsForGroup(None)
@@ -213,18 +218,20 @@ def test_reject_cache_not_stale_after_overwrite(spark, queries_df,
     base.limit(400).write.mode("overwrite").parquet(path)
     first_geo = with_geocode(spark.read.parquet(path))
     first = sorted(map(tuple, spatial_join(
-        first_geo, queries_df, page_cols=["url"]).collect()))
+        first_geo, queries_df, page_cols=["url"],
+        compile_polygons=False).collect()))
     assert len(join_mod._REJECT_CACHE) == 1
 
     # same path, different data (and different part files)
     base.write.mode("overwrite").parquet(path)
     second_geo = with_geocode(spark.read.parquet(path))
     got = sorted(map(tuple, spatial_join(
-        second_geo, queries_df, page_cols=["url"]).collect()))
+        second_geo, queries_df, page_cols=["url"],
+        compile_polygons=False).collect()))
     # fresh data must produce the fresh (memo-free) answer
     want = sorted(map(tuple, spatial_join(
         second_geo, queries_df, page_cols=["url"],
-        refine_memo=False).collect()))
+        compile_polygons=False, refine_memo=False).collect()))
     assert got == want
     assert len(got) > len(first)  # 1000 > 400 rows joined
     # and the overwrite produced a distinct cache entry, not a hit

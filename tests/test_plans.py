@@ -72,18 +72,23 @@ def test_spatial_join_is_broadcast_and_single_scan(spark, queries_df):
     plan = _physical(out)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
-    # the big (pages) side is scanned exactly once AT EXECUTION: the
-    # memoized reject side was materialized eagerly at plan-build
-    # time and (small by construction) collected driver-side, so it
-    # rides in as a LocalRelation — execution never re-touches the
-    # pages table for it. Over-MEMO_COLLECT_CAP reject sets ride as
-    # an InMemoryRelation instead (whose toString embeds the original
-    # pre-cache subtree — count scans outside that description).
-    live = plan.split("InMemoryRelation")[0]
-    assert live.count("pages_sf0.001.parquet") == 1
-    assert ("LocalTableScan" in plan or "Scan ExistingRDD" in plan
-            or "InMemoryTableScan" in plan)
+    # round-7 default: the polygon residual is the COMPILED predicate
+    # (a standalone Filter), so the big (pages) side is scanned
+    # exactly once and there is no reject side at all
+    assert plan.count("pages_sf0.001.parquet") == 1
     # no shuffle on the pages side: the only Exchanges are broadcasts
+    assert "Exchange hashpartitioning" not in plan
+    # the explicit memo fallback still lands its reject set as a
+    # LocalRelation (collected driver-side at build; over-cap sets
+    # ride as an InMemoryRelation whose toString embeds the pre-cache
+    # subtree — count scans outside that description)
+    memo = spatial_join(pages, queries_df, page_cols=["url"],
+                        compile_polygons=False)
+    mplan = _physical(memo)
+    live = mplan.split("InMemoryRelation")[0]
+    assert live.count("pages_sf0.001.parquet") == 1
+    assert ("LocalTableScan" in mplan or "Scan ExistingRDD" in mplan
+            or "InMemoryTableScan" in mplan)
     assert "Exchange hashpartitioning" not in live
 
 
