@@ -125,6 +125,15 @@ def _rect_list(v) -> list[tuple]:
     return list(v)
 
 
+# inscribed_rects memo keyed on the geometry's WKB BYTES — the
+# content itself, so an entry can never go stale — because the
+# anchor-grid search costs ~6 ms of driver numpy per polygon and a
+# per-request caller (HTTP server, bench pass) re-derives identical
+# rects every time. Bounded; cleared wholesale when full.
+_RECTS_CACHE: dict[bytes, list[tuple]] = {}
+_RECTS_CACHE_MAX = 256
+
+
 def _reject_cache_put(key: tuple, value) -> None:
     if len(_REJECT_CACHE) >= _REJECT_CACHE_MAX:
         _REJECT_CACHE.pop(next(iter(_REJECT_CACHE)))
@@ -522,14 +531,20 @@ def spatial_join(pages: DataFrame, queries: DataFrame,
         for r in (queries.where(F.col("kind") == "polygon")
                   .select("query_id", "geometry",
                           "qxmin", "qymin", "qxmax", "qymax").collect()):
-            pcs = geometry_pieces(parse_wkb(bytes(r["geometry"])))
+            wkb = bytes(r["geometry"])
+            pcs = geometry_pieces(parse_wkb(wkb))
             pieces_by_qid[r["query_id"]] = pcs
             bbox_by_qid[r["query_id"]] = (r["qxmin"], r["qymin"],
                                           r["qxmax"], r["qymax"])
             # up to _INNER_K interior rects per polygon (r7): the
             # union covers several times the old single centroid
             # rect, so far fewer candidates pay the exact kernel
-            irs = inscribed_rects(pcs, _INNER_K)
+            irs = _RECTS_CACHE.get(wkb)
+            if irs is None:
+                irs = inscribed_rects(pcs, _INNER_K)
+                if len(_RECTS_CACHE) >= _RECTS_CACHE_MAX:
+                    _RECTS_CACHE.clear()
+                _RECTS_CACHE[wkb] = irs
             if irs:
                 inner_by_qid[r["query_id"]] = irs
 
